@@ -1,0 +1,369 @@
+package graft.css
+
+import graft.model.Arena
+import scala.collection.mutable
+
+/**
+ * Abstract read view over a document's node array, so the same matcher runs
+ * over the Scala arena (tests, mutation ops) and over Spark InternalRow data
+ * (the Catalyst expression in [[graft.expr]]) without conversion.
+ * Pointer fields use -1 for "none".
+ */
+trait NodeAccess {
+  def size: Int
+  def kind(i: Int): String
+  def name(i: Int): String
+  def text(i: Int): String
+  def attr(i: Int, key: String): String // null if absent
+  def hasAttr(i: Int, key: String): Boolean
+  def parent(i: Int): Int
+  def prevSibling(i: Int): Int
+  def nextSibling(i: Int): Int
+  def firstChild(i: Int): Int
+  def lastChild(i: Int): Int
+
+  // --- derived helpers (pointer walks; always correct, even post-mutation) ---
+  final def isElement(i: Int): Boolean = kind(i) == "element"
+  final def isText(i: Int): Boolean = kind(i) == "text"
+
+  final def prevElemSibling(i: Int): Int = {
+    var p = prevSibling(i)
+    while (p != -1 && !isElement(p)) p = prevSibling(p)
+    p
+  }
+  final def nextElemSibling(i: Int): Int = {
+    var p = nextSibling(i)
+    while (p != -1 && !isElement(p)) p = nextSibling(p)
+    p
+  }
+  /** 1-based position among element siblings (reference sibling walks skip
+    * non-elements, `src/node/selector.rs:59-67`). */
+  final def elemPos(i: Int): Int = {
+    var c = 1; var p = prevElemSibling(i)
+    while (p != -1) { c += 1; p = prevElemSibling(p) }
+    c
+  }
+  final def elemPosFromEnd(i: Int): Int = {
+    var c = 1; var p = nextElemSibling(i)
+    while (p != -1) { c += 1; p = nextElemSibling(p) }
+    c
+  }
+  final def typePos(i: Int): Int = {
+    val nm = name(i)
+    var c = 1; var p = prevElemSibling(i)
+    while (p != -1) { if (name(p) == nm) c += 1; p = prevElemSibling(p) }
+    c
+  }
+  final def typePosFromEnd(i: Int): Int = {
+    val nm = name(i)
+    var c = 1; var p = nextElemSibling(i)
+    while (p != -1) { if (name(p) == nm) c += 1; p = nextElemSibling(p) }
+    c
+  }
+  final def hasClass(i: Int, cls: String): Boolean = {
+    val v = attr(i, "class")
+    if (v == null || v.isEmpty) return false
+    // whitespace-split contains (reference has_class_bytes, node_data.rs:126-133)
+    var start = 0
+    val n = v.length
+    while (start < n) {
+      while (start < n && isSelWs(v.charAt(start))) start += 1
+      var end = start
+      while (end < n && !isSelWs(v.charAt(end))) end += 1
+      if (end > start && end - start == cls.length && v.regionMatches(start, cls, 0, cls.length))
+        return true
+      start = end
+    }
+    false
+  }
+  private def isSelWs(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+}
+
+final class ArenaAccess(a: Arena) extends NodeAccess with graft.sources.AttrIterable {
+  def attrEntries(id: Int): Seq[(String, String)] = {
+    val at = a(id).attrs
+    if (at == null) Nil else at.toSeq
+  }
+  def templateContents(id: Int): Int = a(id).templateContents
+  def size: Int = a.size
+  def kind(i: Int): String = a(i).kind
+  def name(i: Int): String = a(i).name
+  def text(i: Int): String = a(i).text
+  def attr(i: Int, key: String): String = a(i).attr(key).orNull
+  def hasAttr(i: Int, key: String): Boolean = a(i).attr(key).isDefined
+  def parent(i: Int): Int = a(i).parent
+  def prevSibling(i: Int): Int = a(i).prev
+  def nextSibling(i: Int): Int = a(i).next
+  def firstChild(i: Int): Int = a(i).firstChild
+  def lastChild(i: Int): Int = a(i).lastChild
+}
+
+/**
+ * Selector evaluation: descending, set-at-a-time (the reference's own data
+ * shows this beats ascending per-candidate matching ~5× —
+ * `dom-query-bench/README.md:17`, architecture from
+ * `src/mini_selector/extension.rs:34-93`), but *without* the mini engine's
+ * descent pruning so results carry full selectors-crate / CSS semantics.
+ */
+object Engine {
+  import SelectorAst._
+
+  /** All strict descendants of `roots` matching the selector list, in
+    * document order (Q1/Q3). Roots themselves never match
+    * (`tests/selection-traversal.rs:26-30`). */
+  def select(acc: NodeAccess, roots: Seq[Int], list: List[Complex]): Array[Int] = {
+    val matched = new java.util.BitSet(acc.size)
+    list.foreach { cx => selectComplex(acc, roots, cx, matched) }
+    orderByDocument(acc, roots, matched)
+  }
+
+  /** Convenience: select under the document root (id 0). */
+  def selectDoc(acc: NodeAccess, css: String): Array[Int] =
+    select(acc, Seq(0), SelectorAst.parse(css))
+
+  /** First match only (Q2) — document-order first. */
+  def selectFirst(acc: NodeAccess, roots: Seq[Int], list: List[Complex]): Int = {
+    val all = select(acc, roots, list)
+    if (all.isEmpty) -1 else all(0)
+  }
+
+  /** Does node `i` itself match any selector in the list (Q4/Q8 `is`)? */
+  def matches(acc: NodeAccess, i: Int, list: List[Complex]): Boolean =
+    list.exists(cx => matchesComplex(acc, i, cx))
+
+  // --- descending complex evaluation --------------------------------------
+
+  private def selectComplex(acc: NodeAccess, roots: Seq[Int], cx: Complex,
+      out: java.util.BitSet): Unit = {
+    var frontier: mutable.BitSet = mutable.BitSet(roots: _*)
+    cx.steps.foreach { case (comb, compound) =>
+      val next = mutable.BitSet()
+      comb match {
+        case Descendant =>
+          // visit strict descendants of every frontier node, dedup via seen
+          val seen = mutable.BitSet()
+          frontier.foreach { f =>
+            var stack: List[Int] = childList(acc, f)
+            while (stack.nonEmpty) {
+              val cur = stack.head
+              stack = stack.tail
+              if (!seen(cur)) {
+                seen += cur
+                if (acc.isElement(cur) && matchCompound(acc, cur, compound)) next += cur
+                stack = childList(acc, cur) ::: stack
+              }
+            }
+          }
+        case Child =>
+          frontier.foreach { f =>
+            var c = acc.firstChild(f)
+            while (c != -1) {
+              if (acc.isElement(c) && matchCompound(acc, c, compound)) next += c
+              c = acc.nextSibling(c)
+            }
+          }
+        case Adjacent =>
+          frontier.foreach { f =>
+            val s = acc.nextElemSibling(f)
+            if (s != -1 && matchCompound(acc, s, compound)) next += s
+          }
+        case Sibling =>
+          frontier.foreach { f =>
+            var s = acc.nextElemSibling(f)
+            while (s != -1) {
+              if (matchCompound(acc, s, compound)) next += s
+              s = acc.nextElemSibling(s)
+            }
+          }
+      }
+      frontier = next
+    }
+    frontier.foreach(out.set)
+  }
+
+  private def childList(acc: NodeAccess, i: Int): List[Int] = {
+    var kids: List[Int] = Nil
+    var c = acc.lastChild(i)
+    while (c != -1) { kids = c :: kids; c = acc.prevSibling(c) }
+    kids
+  }
+
+  /** Order a matched bitset by document order: preorder walk from each root.
+    * For preorder-numbered trees this equals ascending id order, but after
+    * mutations ids are stable while order changes — walk the pointers. */
+  private def orderByDocument(acc: NodeAccess, roots: Seq[Int],
+      matched: java.util.BitSet): Array[Int] = {
+    if (matched.isEmpty) return Array.empty
+    val out = mutable.ArrayBuffer[Int]()
+    val emitted = new java.util.BitSet(acc.size)
+    roots.foreach { r =>
+      var stack: List[Int] = childList(acc, r)
+      while (stack.nonEmpty) {
+        val cur = stack.head
+        stack = stack.tail
+        if (matched.get(cur) && !emitted.get(cur)) { emitted.set(cur); out += cur }
+        stack = childList(acc, cur) ::: stack
+      }
+    }
+    out.toArray
+  }
+
+  // --- ascending single-node matching (for `is`/`filter` and combinators
+  //     inside :not/:is arguments) ------------------------------------------
+
+  def matchesComplex(acc: NodeAccess, i: Int, cx: Complex): Boolean = {
+    // match rightmost compound on i, then walk left
+    val steps = cx.steps.reverse
+    if (!acc.isElement(i) || !matchCompound(acc, i, steps.head._2)) return false
+    matchesLeft(acc, i, steps.head._1, steps.tail)
+  }
+
+  private def matchesLeft(acc: NodeAccess, i: Int, combToLeft: Combinator,
+      rest: List[(Combinator, Compound)]): Boolean = {
+    if (rest.isEmpty) return true // leftmost: scope relation unconstrained here
+    val (nextComb, compound) = rest.head
+    combToLeft match {
+      case Child =>
+        val p = acc.parent(i)
+        p != -1 && acc.isElement(p) && matchCompound(acc, p, compound) &&
+          matchesLeft(acc, p, nextComb, rest.tail)
+      case Descendant =>
+        var p = acc.parent(i)
+        while (p != -1) {
+          if (acc.isElement(p) && matchCompound(acc, p, compound) &&
+              matchesLeft(acc, p, nextComb, rest.tail)) return true
+          p = acc.parent(p)
+        }
+        false
+      case Adjacent =>
+        val s = acc.prevElemSibling(i)
+        s != -1 && matchCompound(acc, s, compound) && matchesLeft(acc, s, nextComb, rest.tail)
+      case Sibling =>
+        var s = acc.prevElemSibling(i)
+        while (s != -1) {
+          if (matchCompound(acc, s, compound) && matchesLeft(acc, s, nextComb, rest.tail))
+            return true
+          s = acc.prevElemSibling(s)
+        }
+        false
+    }
+  }
+
+  // --- compound matching ----------------------------------------------------
+
+  def matchCompound(acc: NodeAccess, i: Int, c: Compound): Boolean = {
+    c.tag match {
+      case Some(t) => if (acc.name(i) != t) return false
+      case None =>
+    }
+    c.preds.forall(p => matchPred(acc, i, p))
+  }
+
+  private def nthMatches(pos: Int, a: Int, b: Int): Boolean = {
+    // ∃ k ≥ 0 : pos = a*k + b
+    if (a == 0) pos == b
+    else if (a > 0) pos >= b && (pos - b) % a == 0
+    else pos <= b && (b - pos) % (-a) == 0
+  }
+
+  private def matchPred(acc: NodeAccess, i: Int, p: Pred): Boolean = p match {
+    case PId(v) => acc.attr(i, "id") == v
+    case PClass(v) => acc.hasClass(i, v)
+    case PAttrExists(k) => acc.hasAttr(i, k)
+    case PAttr(k, op, v) =>
+      val ev = acc.attr(i, k)
+      ev != null && attrOpMatch(ev, op, v)
+    case PNth(a, b, fromEnd, ofType) =>
+      val pos =
+        if (!fromEnd && !ofType) acc.elemPos(i)
+        else if (fromEnd && !ofType) acc.elemPosFromEnd(i)
+        else if (!fromEnd) acc.typePos(i)
+        else acc.typePosFromEnd(i)
+      // only elements with a parent element/container participate
+      acc.parent(i) != -1 && nthMatches(pos, a, b)
+    case POnlyChild =>
+      acc.parent(i) != -1 && acc.prevElemSibling(i) == -1 && acc.nextElemSibling(i) == -1
+    case POnlyOfType =>
+      acc.parent(i) != -1 && acc.typePos(i) == 1 && acc.typePosFromEnd(i) == 1
+    case PEmpty => isEmptyElement(acc, i)
+    case PRoot =>
+      // :root matches the element whose parent is the document node
+      // (reference maps is_root → parent is_document, selector.rs:212-214)
+      val par = acc.parent(i)
+      par != -1 && (acc.kind(par) == "document" || acc.kind(par) == "fragment")
+    case PAnyLink =>
+      (acc.name(i) == "a" || acc.name(i) == "area" || acc.name(i) == "link") &&
+        acc.hasAttr(i, "href")
+    case PNot(list) => !list.exists(cx => matchesComplex(acc, i, cx))
+    case PIs(list) => list.exists(cx => matchesComplex(acc, i, cx))
+    case PHas(list) =>
+      // Relative selector anchored at i (`:has(> a)`, `:has(+ p)`):
+      // the leading combinator of each complex encodes the relation to the
+      // anchor, and selectComplex applies exactly that relation from the
+      // root set — so evaluating from roots = {i} is the full semantics.
+      list.exists { cx => select(acc, Seq(i), List(cx)).nonEmpty }
+    case PHasText(s) =>
+      // node or descendants contain a *single text node* containing s
+      // (node_ref.rs:628-640)
+      subtreeExists(acc, i, j => acc.isText(j) && acc.text(j) != null && acc.text(j).contains(s))
+    case PContains(s) =>
+      // merged subtree text contains s (selector.rs:144)
+      subtreeText(acc, i).contains(s)
+    case POnlyText =>
+      // exactly one child, and it is a non-empty text node (node_ref.rs:643-659)
+      val fc = acc.firstChild(i)
+      fc != -1 && acc.nextSibling(fc) == -1 && acc.isText(fc) &&
+        acc.text(fc) != null && acc.text(fc).trim.nonEmpty
+    case PFalse => false
+  }
+
+  def attrOpMatch(ev: String, op: AttrOp, v: String): Boolean = {
+    // operator table from the reference (`mini_selector/selector.rs:33-55`);
+    // empty element values never match
+    if (ev.isEmpty) return false
+    op match {
+      case AEquals => ev == v
+      case AIncludes => ev.split("[ \t\n\r\f]+").exists(_ == v)
+      case ADashMatch => ev == v || (ev.startsWith(v) && ev.length > v.length && ev.charAt(v.length) == '-')
+      case APrefix => v.nonEmpty && ev.startsWith(v)
+      case ASuffix => v.nonEmpty && ev.endsWith(v)
+      case ASubstring => v.nonEmpty && ev.contains(v)
+    }
+  }
+
+  def isEmptyElement(acc: NodeAccess, i: Int): Boolean = {
+    // element without element children and without non-blank text
+    // (node_ref.rs:665-680)
+    if (!acc.isElement(i)) return false
+    var c = acc.firstChild(i)
+    while (c != -1) {
+      if (acc.isElement(c)) return false
+      if (acc.isText(c) && acc.text(c) != null && acc.text(c).exists(!_.isWhitespace)) return false
+      c = acc.nextSibling(c)
+    }
+    true
+  }
+
+  def subtreeExists(acc: NodeAccess, root: Int, pred: Int => Boolean): Boolean = {
+    var stack: List[Int] = List(root)
+    while (stack.nonEmpty) {
+      val cur = stack.head
+      stack = stack.tail
+      if (pred(cur)) return true
+      stack = childList(acc, cur) ::: stack
+    }
+    false
+  }
+
+  def subtreeText(acc: NodeAccess, root: Int): String = {
+    val sb = new java.lang.StringBuilder
+    var stack: List[Int] = List(root)
+    while (stack.nonEmpty) {
+      val cur = stack.head
+      stack = stack.tail
+      if (acc.isText(cur) && acc.text(cur) != null) sb.append(acc.text(cur))
+      stack = childList(acc, cur) ::: stack
+    }
+    sb.toString
+  }
+}

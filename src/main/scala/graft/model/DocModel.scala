@@ -1,0 +1,327 @@
+package graft.model
+
+import scala.collection.mutable
+
+/**
+ * The canonical node record — one element of a document's `nodes` array.
+ *
+ * A dom_query document is an arena of tree nodes (`Tree { nodes: Vec<TreeNode> }`,
+ * reference `src/dom_tree/tree.rs:20-22`); a node's identity is its array index
+ * (`src/node.rs:24-27`) and each node carries five intra-tree pointers
+ * (`src/node/inner.rs:8-23`). We keep exactly that relational encoding as a
+ * Spark `ARRAY<STRUCT<...>>` per document row, plus derived structural columns
+ * computed once at ingest so CSS structural pseudo-classes become integer
+ * comparisons (SURVEY.md §1.4, §2.2 P7).
+ *
+ * `-1` encodes "no pointer" (reference `Option<NodeId>` = None).
+ *
+ * Derived columns (valid for preorder-numbered, freshly-ingested trees):
+ *  - depth:              distance from root (root = 0); -1 for detached nodes
+ *  - subtree_end:        largest arena index in this node's subtree (inclusive);
+ *                        preorder numbering makes subtrees contiguous ranges
+ *                        (reference ids are assigned in parse order,
+ *                        `src/dom_tree/ops.rs:164-168`)
+ *  - elem_pos_in_parent: 1-based position among *element* siblings (for :nth-child
+ *                        semantics over elements, reference skips non-elements,
+ *                        `src/node/selector.rs:59-67`); 0 for non-elements
+ *  - elem_pos_from_end:  1-based position from the end among element siblings
+ *  - type_pos_in_parent: 1-based position among element siblings with same tag name
+ *  - n_elem_children:    number of element children
+ *  - prev_elem_sib / next_elem_sib: nearest element sibling indices (-1 = none)
+ */
+case class NodeRec(
+    kind: String, // document|fragment|doctype|element|text|comment|pi
+    name: String, // element tag (lowercase) or doctype name; null otherwise
+    attrs: Map[String, String],
+    class_list: Seq[String],
+    text: String, // text/comment/pi contents; null otherwise
+    media_ref: String, // opaque media pointer for interleaved media spans
+    parent: Int,
+    prev_sibling: Int,
+    next_sibling: Int,
+    first_child: Int,
+    last_child: Int,
+    template_contents: Int,
+    depth: Int,
+    subtree_end: Int,
+    elem_pos_in_parent: Int,
+    elem_pos_from_end: Int,
+    type_pos_in_parent: Int,
+    n_elem_children: Int,
+    prev_elem_sib: Int,
+    next_elem_sib: Int
+)
+
+object NodeKind {
+  val Document = "document"
+  val Fragment = "fragment"
+  val Doctype = "doctype"
+  val Element = "element"
+  val Text = "text"
+  val Comment = "comment"
+  val Pi = "pi"
+}
+
+/**
+ * Mutable arena node — the engine-internal working representation used by the
+ * parser, the selector engine and the mutation ops. Mirrors the reference
+ * `TreeNode` (`src/node/inner.rs:8-23`): five pointers + tagged payload.
+ */
+final class MutNode(
+    var kind: String,
+    var name: String = null,
+    var text: String = null,
+    var mediaRef: String = null
+) {
+  var attrs: mutable.LinkedHashMap[String, String] = null // null for non-elements
+  var parent: Int = -1
+  var prev: Int = -1
+  var next: Int = -1
+  var firstChild: Int = -1
+  var lastChild: Int = -1
+  var templateContents: Int = -1
+
+  def isElement: Boolean = kind == NodeKind.Element
+  def isText: Boolean = kind == NodeKind.Text
+
+  def attr(key: String): Option[String] =
+    if (attrs == null) None else attrs.get(key)
+
+  def classList: Seq[String] =
+    attr("class").map(_.split("[ \t\n\r]+").filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
+  def deepCopyShallow(): MutNode = {
+    val n = new MutNode(kind, name, text, mediaRef)
+    if (attrs != null) n.attrs = attrs.clone()
+    n.templateContents = templateContents
+    n
+  }
+}
+
+/**
+ * Arena of tree nodes: append-only Vec semantics — node ids are stable, removal
+ * only unlinks pointers (reference `src/dom_tree/ops.rs:350-383`, "The node
+ * remains in the tree"). All mutation operators live in [[graft.ops.TreeOps]].
+ */
+final class Arena {
+  val nodes = new mutable.ArrayBuffer[MutNode]()
+
+  def apply(id: Int): MutNode = nodes(id)
+  def size: Int = nodes.length
+  def isValidId(id: Int): Boolean = id >= 0 && id < nodes.length
+
+  /** Append a node to the arena — id = current length (`ops.rs:164-168`). */
+  def create(n: MutNode): Int = { nodes += n; nodes.length - 1 }
+
+  def createElement(name: String, attrs: Seq[(String, String)] = Nil): Int = {
+    val n = new MutNode(NodeKind.Element, name)
+    n.attrs = mutable.LinkedHashMap(attrs: _*)
+    create(n)
+  }
+
+  def createText(contents: String): Int = create(new MutNode(NodeKind.Text, text = contents))
+
+  def childIds(id: Int): List[Int] = {
+    val buf = mutable.ListBuffer[Int]()
+    var c = nodes(id).firstChild
+    while (c != -1) { buf += c; c = nodes(c).next }
+    buf.toList
+  }
+
+  def root: Int = 0
+
+  /** First element child of root = the `<html>` node (reference `tree.rs:169-173`). */
+  def htmlRoot: Option[Int] = childIds(0).find(nodes(_).isElement)
+
+  /** Preorder walk of the subtree rooted at `id` (inclusive), by pointers —
+    * matches reference `DescendantNodes` (`src/node/iters.rs:142-200`). */
+  def preorder(id: Int): Iterator[Int] = new Iterator[Int] {
+    private var stack = List(id)
+    def hasNext: Boolean = stack.nonEmpty
+    def next(): Int = {
+      val cur = stack.head
+      stack = stack.tail
+      // push children in reverse so leftmost pops first
+      var kids: List[Int] = Nil
+      var c = nodes(cur).firstChild
+      while (c != -1) { kids = c :: kids; c = nodes(c).next }
+      stack = kids reverse_::: stack
+      cur
+    }
+  }
+
+  /** Descendants of `id` (exclusive of `id` itself), document order. */
+  def descendants(id: Int): Iterator[Int] = preorder(id).drop(1)
+
+  def ancestors(id: Int, maxDepth: Int = -1): List[Int] = {
+    val buf = mutable.ListBuffer[Int]()
+    var p = nodes(id).parent
+    var d = 0
+    while (p != -1 && (maxDepth <= 0 || d < maxDepth)) {
+      buf += p; d += 1; p = nodes(p).parent
+    }
+    buf.toList
+  }
+
+  /** Concatenated text of node + descendants, doc order (`ops.rs:32-47`). */
+  def textOf(id: Int): String = {
+    val sb = new java.lang.StringBuilder
+    preorder(id).foreach { i =>
+      val n = nodes(i)
+      if (n.isText && n.text != null) sb.append(n.text)
+    }
+    sb.toString
+  }
+
+  /** Own + direct-children text only (`ops.rs:85-99`). */
+  def immediateTextOf(id: Int): String = {
+    val sb = new java.lang.StringBuilder
+    val self = nodes(id)
+    if (self.isText && self.text != null) sb.append(self.text)
+    childIds(id).foreach { c =>
+      val n = nodes(c)
+      if (n.isText && n.text != null) sb.append(n.text)
+    }
+    sb.toString
+  }
+
+  /** Streaming whitespace-normalized char count, no string materialization
+    * (reference `ops.rs:66-82`, helper `dom_tree/helpers.rs:1-13`). */
+  def normalizedCharCount(id: Int): Long = {
+    var count = 0L
+    var lastWasWs = true // leading whitespace is skipped
+    preorder(id).foreach { i =>
+      val n = nodes(i)
+      if (n.isText && n.text != null) {
+        n.text.foreach { ch =>
+          // Unicode White_Space (Rust char::is_whitespace includes U+00A0)
+          if (Character.isWhitespace(ch) || Character.isSpaceChar(ch)) {
+            if (!lastWasWs) { count += 1; lastWasWs = true }
+          } else { count += 1; lastWasWs = false }
+        }
+      }
+    }
+    if (lastWasWs && count > 0) count -= 1 // trailing normalized space doesn't count
+    count
+  }
+
+  /** Finalize to the immutable record array with derived structural columns. */
+  def toRecs: Array[NodeRec] = {
+    val n = nodes.length
+    val depth = Array.fill(n)(-1)
+    val subtreeEnd = Array.tabulate(n)(identity)
+    val elemPos = new Array[Int](n)
+    val elemPosEnd = new Array[Int](n)
+    val typePos = new Array[Int](n)
+    val nElemChildren = new Array[Int](n)
+    val prevElem = Array.fill(n)(-1)
+    val nextElem = Array.fill(n)(-1)
+
+    // depth + subtree_end over every attached tree (root 0 plus any template
+    // fragments referenced via templateContents; detached nodes keep -1).
+    // Single iterative DFS; subtree_end folded bottom-up in reverse preorder.
+    def walk(rootId: Int, rootDepth: Int): Unit = {
+      var stack: List[(Int, Int)] = List((rootId, rootDepth))
+      val order = mutable.ArrayBuffer[Int]()
+      while (stack.nonEmpty) {
+        val (id, d) = stack.head
+        stack = stack.tail
+        depth(id) = d
+        order += id
+        var c = nodes(id).firstChild
+        var kids: List[(Int, Int)] = Nil
+        while (c != -1) { kids = (c, d + 1) :: kids; c = nodes(c).next }
+        stack = kids reverse_::: stack
+      }
+      // reverse preorder: children are processed before their parent
+      order.reverseIterator.foreach { id =>
+        var m = id
+        var c = nodes(id).firstChild
+        while (c != -1) { m = math.max(m, subtreeEnd(c)); c = nodes(c).next }
+        subtreeEnd(id) = m
+      }
+    }
+    if (n > 0) walk(0, 0)
+    // template contents subtrees
+    (0 until n).foreach { i =>
+      val tc = nodes(i).templateContents
+      if (tc != -1 && depth.lift(tc).contains(-1)) walk(tc, 0)
+    }
+
+    // sibling positions
+    (0 until n).foreach { p =>
+      val kids = childIds(p)
+      val elemKids = kids.filter(nodes(_).isElement)
+      nElemChildren(p) = elemKids.length
+      var lastElem = -1
+      kids.foreach { k =>
+        if (nodes(k).isElement) {
+          if (lastElem != -1) { prevElem(k) = lastElem; nextElem(lastElem) = k }
+          lastElem = k
+        }
+      }
+      elemKids.zipWithIndex.foreach { case (k, i) =>
+        elemPos(k) = i + 1
+        elemPosEnd(k) = elemKids.length - i
+      }
+      val byType = mutable.HashMap[String, Int]()
+      elemKids.foreach { k =>
+        val t = nodes(k).name
+        val c = byType.getOrElse(t, 0) + 1
+        byType(t) = c
+        typePos(k) = c
+      }
+    }
+
+    Array.tabulate(n) { i =>
+      val nd = nodes(i)
+      NodeRec(
+        kind = nd.kind,
+        name = nd.name,
+        // VectorMap preserves attribute insertion order through Spark's map
+        // encoder (reference keeps attrs as an ordered Vec<Attr>,
+        // node_data.rs:66) — needed for byte-exact HTML serialization.
+        attrs =
+          if (nd.attrs == null) null
+          else scala.collection.immutable.VectorMap(nd.attrs.toSeq: _*),
+        class_list = if (nd.isElement) nd.classList else null,
+        text = nd.text,
+        media_ref = nd.mediaRef,
+        parent = nd.parent,
+        prev_sibling = nd.prev,
+        next_sibling = nd.next,
+        first_child = nd.firstChild,
+        last_child = nd.lastChild,
+        template_contents = nd.templateContents,
+        depth = depth(i),
+        subtree_end = subtreeEnd(i),
+        elem_pos_in_parent = elemPos(i),
+        elem_pos_from_end = elemPosEnd(i),
+        type_pos_in_parent = typePos(i),
+        n_elem_children = nElemChildren(i),
+        prev_elem_sib = prevElem(i),
+        next_elem_sib = nextElem(i)
+      )
+    }
+  }
+}
+
+object Arena {
+  /** Rebuild a mutable arena from the immutable record array (for mutation
+    * operators running inside expressions over stored node arrays). */
+  def fromRecs(recs: Seq[NodeRec]): Arena = {
+    val a = new Arena
+    recs.foreach { r =>
+      val n = new MutNode(r.kind, r.name, r.text, r.media_ref)
+      if (r.attrs != null) n.attrs = mutable.LinkedHashMap(r.attrs.toSeq: _*)
+      n.parent = r.parent
+      n.prev = r.prev_sibling
+      n.next = r.next_sibling
+      n.firstChild = r.first_child
+      n.lastChild = r.last_child
+      n.templateContents = r.template_contents
+      a.nodes += n
+    }
+    a
+  }
+}

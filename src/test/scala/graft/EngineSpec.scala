@@ -1,0 +1,374 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.Doc
+
+/**
+ * Golden differential tests: fixtures + expected values are taken verbatim
+ * from the reference's own test assertions (file:line cited per test) —
+ * the engines must agree observable-behavior-for-observable-behavior.
+ */
+object Fixtures {
+  // tests/data.rs:16-31
+  val ANCESTORS = """<!DOCTYPE html>
+    <html>
+        <head><title>Test</title></head>
+        <body>
+            <!--Ancestors-->
+           <div id="great-ancestor">
+               <div id="grand-parent">
+                   <div id="parent">
+                       <div id="first-child" class="child">Child</div>
+                       <div id="second-child" class="child">Child</div>
+                   </div>
+               </div>
+               <div id="grand-parent-sibling"></div>
+            </div>
+        </body>
+    </html>"""
+
+  // tests/data.rs:33-46
+  val LIST = """<!DOCTYPE html>
+    <html lang="en">
+        <head></head>
+        <body>
+            <div>
+                <ul class="list">
+                    <li>1</li><li>2</li><li>3</li>
+                </ul>
+                <ul class="list">
+                    <li>4</li><li>5</li><li>6</li>
+                </ul>
+            <div>
+        </body>
+    </html>"""
+
+  // tests/data.rs:48-59
+  val HEADING = """<!DOCTYPE html>
+    <html>
+        <head><title>Test</title></head>
+        <body>
+            <div class="content heading">
+                <h1>Test Page</h1>
+            </div>
+            <div class="content text-content">
+                <p>This is a test page contents.</p>
+            </div
+        </body>
+    </html>"""
+
+  // tests/pseudo-classes.rs:23-33
+  val LINKS = """<!DOCTYPE html>
+    <html lang="en">
+        <head><title>Test</title></head>
+        <body>
+        <div>
+            <a class="link first-link" href="/1">One</a>
+            <a class="link second-link" href="/2">Two</a>
+            <a class="link" href="/3"><span>Three</span></a>
+        </div>
+        </body>
+    </html>"""
+
+  // tests/pseudo-classes.rs:8-21
+  val SIMPLE_LIST = """<!DOCTYPE html>
+    <html>
+        <head><title>Test</title></head>
+        <body>
+           <ul class="list">
+               <li>1</li>
+               <li>2</li>
+               <li>3</li>
+           </ul>
+           <ul>
+               <li>4</li>
+            </ul>
+        </body>
+    </html>"""
+
+  // tests/pseudo-classes.rs:35-49
+  val EMPTY_HEADINGS = """<!DOCTYPE html>
+    <html>
+        <head><title>Test</title></head>
+        <body>
+           <h1>
+           </h1>
+           <h2>
+           </h2>
+           <h3>
+           </h3>
+           <h1>1</h1>
+           <h2>2</h2>
+           <h3>3</h3>
+        </body>
+    </html>
+    """
+
+  // tests/data.rs:96-106
+  val ATTRS = """<!DOCTYPE html>
+    <html>
+        <head></head>
+        <body>
+            <div id="main">
+                <div><font face="Times" size="10" color="green">Lorem</font></div>
+                <div><font face="Arial" size="8" color="red">ipsum dolor</font></div>
+                <div><font face="Courier" size="5" color="red">sit amet</font></div>
+            </div>
+        </body>
+    </html>"""
+
+  // README.md:95-112
+  val README_PAGE = """<!DOCTYPE html>
+<html>
+    <head>
+        <meta charset="utf-8">
+        <title>Test Page</title>
+    </head>
+    <body>
+        <h1>Test Page</h1>
+        <ul>
+            <li>One</li>
+            <li><a href="/2">Two</a></li>
+            <li><a href="/3">Three</a></li>
+        </ul>
+    </body>
+</html>"""
+}
+
+class EngineSpec extends AnyFunSuite {
+  import Fixtures._
+
+  test("select basics + document order (LIST)") {
+    val doc = Doc.parse(LIST)
+    assert(doc.select("ul.list").length == 2)
+    assert(doc.select("ul.list li").length == 6)
+    assert(doc.select("li").text == "123456")
+  }
+
+  test("chained select excludes roots (selection-traversal.rs:26-30)") {
+    val doc = Doc.parse(HEADING)
+    assert(doc.select("h1").select("h1").length == 0)
+  }
+
+  test("invalid selector throws; trySelect returns None (document.rs:201-227)") {
+    val doc = Doc.parse(LIST)
+    intercept[IllegalArgumentException](doc.select(":+ ^"))
+    assert(doc.trySelect(":+ ^").isEmpty)
+    assert(doc.trySelect("p").isDefined) // exists but empty selection is Some
+  }
+
+  test("nth-child text (README.md:112-117)") {
+    val doc = Doc.parse(README_PAGE)
+    assert(doc.select("ul li:nth-child(2)").text == "Two")
+  }
+
+  test("ul > li:has(a) are all li (README.md:118-121)") {
+    val doc = Doc.parse(README_PAGE)
+    val sel = doc.select("ul > li:has(a)")
+    assert(sel.length == 2)
+    assert(sel.is("li"))
+  }
+
+  test("nth-child / first/last/only (SIMPLE_LIST)") {
+    val doc = Doc.parse(SIMPLE_LIST)
+    assert(doc.select("ul.list li:first-child").text == "1")
+    assert(doc.select("ul.list li:last-child").text == "3")
+    assert(doc.select("ul.list li:nth-child(2)").text == "2")
+    assert(doc.select("ul.list li:nth-child(odd)").text == "13")
+    assert(doc.select("ul.list li:nth-child(even)").text == "2")
+    assert(doc.select("ul.list li:nth-last-child(1)").text == "3")
+    assert(doc.select("li:only-child").text == "4")
+    assert(doc.select("ul li:nth-child(2n+1)").text == "134")
+  }
+
+  test("pseudo_class_has (pseudo-classes.rs:52-62)") {
+    val doc = Doc.parse(LINKS)
+    assert(doc.select("div:has(a[href]) a span").text == "Three")
+  }
+
+  test("pseudo_class_has_any_link (pseudo-classes.rs:64-73)") {
+    val doc = Doc.parse(LINKS)
+    assert(doc.select("div:has(*:any-link) a span").first.text == "Three")
+  }
+
+  test("pseudo_class_link (pseudo-classes.rs:75-84)") {
+    val doc = Doc.parse(LINKS)
+    assert(doc.select("div *:link").first.text == "One")
+  }
+
+  test("bad pseudo-class name panics (pseudo-classes.rs:86-95)") {
+    val doc = Doc.parse(LINKS)
+    intercept[IllegalArgumentException](doc.select("div:hasa(*:any-link) a span"))
+  }
+
+  test("has-text matches single text node (pseudo-classes.rs:97-106)") {
+    val doc = Doc.parse(LINKS)
+    assert(doc.select("""div a:has-text("Three")""").text == "Three")
+  }
+
+  test("has-text does NOT match split text; :contains does (pseudo-classes.rs:109-149)") {
+    val html = """
+    <div>
+        <a href="/1">One</a>
+        <a href="/2">Two</a>
+        <a href="/3">It is not <span>how</span> it works</a>
+    </div>"""
+    val doc = Doc.parse(html)
+    assert(doc.select("""div a:has-text("how it works")""").length == 0)
+    assert(doc.select("""div a:contains("how it works")""").text == "It is not how it works")
+  }
+
+  test("only-text ignores whitespace-only divs (pseudo-classes.rs:151-180)") {
+    val html = """<!DOCTYPE html>
+    <html>
+        <head>
+            <title>Test</title>
+        </head>
+        <body>
+            <div>
+                <a href="/1">One</a>
+                <a href="/2">Two</a>
+                <a href="/3">Three</a>
+            </div>
+            <div>
+            </div>
+            <div>Only text</div>
+        </body>
+    </html>
+    """
+    val doc = Doc.parse(html)
+    val sel = doc.select("body div:only-text")
+    assert(sel.length == 1)
+    assert(sel.innerHtml.contains("Only text"))
+  }
+
+  test(":not with selector list (pseudo-classes.rs:183-191)") {
+    val doc = Doc.parse(LINKS)
+    assert(doc.select("div a[class]:not(.first-link,.second-link)").first.text == "Three")
+  }
+
+  test(":is + :empty (pseudo-classes.rs:194-200)") {
+    val doc = Doc.parse(EMPTY_HEADINGS)
+    assert(doc.select(":is(h1,h2,h3):empty").length == 3)
+  }
+
+  test("descendants document order (node-traversal.rs:58-83)") {
+    val doc = Doc.parse(ANCESTORS)
+    val anc = doc.select("#great-ancestor")
+    assert(anc.exists)
+    val ids = doc.arena.descendants(anc.ids.head).toList
+      .filter(doc.arena(_).isElement)
+      .map(i => doc.acc.attr(i, "id"))
+    assert(ids == List("grand-parent", "parent", "first-child", "second-child",
+      "grand-parent-sibling"))
+  }
+
+  test("ancestors chain (ANCESTORS fixture)") {
+    val doc = Doc.parse(ANCESTORS)
+    val child = doc.select("#first-child")
+    val anc = child.ancestors()
+    val ids = anc.ids.map(i => Option(doc.acc.attr(i, "id")).getOrElse(doc.acc.name(i)))
+    assert(ids == Seq("parent", "grand-parent", "great-ancestor", "body", "html"))
+    val lim = child.ancestors(2)
+    assert(lim.ids.map(i => doc.acc.attr(i, "id")) == Seq("parent", "grand-parent"))
+  }
+
+  test("parent / children / siblings (ANCESTORS fixture)") {
+    val doc = Doc.parse(ANCESTORS)
+    assert(doc.select("#parent").children.length == 2)
+    assert(doc.select("#first-child").parent.id.contains("parent"))
+    assert(doc.select("#first-child").nextSibling.id.contains("second-child"))
+    assert(doc.select("#second-child").prevSibling.id.contains("first-child"))
+    assert(doc.select("#grand-parent").nextSibling.id.contains("grand-parent-sibling"))
+  }
+
+  test("attribute operators (mini_selector/selector.rs:33-55 table)") {
+    val doc = Doc.parse(ATTRS)
+    assert(doc.select("font[face=Arial]").text == "ipsum dolor")
+    assert(doc.select("font[color=red]").length == 2)
+    assert(doc.select("font[face^=C]").text == "sit amet")
+    assert(doc.select("font[face$=s]").text == "Lorem")
+    assert(doc.select("font[face*=ria]").text == "ipsum dolor")
+    assert(doc.select("font[size]").length == 3)
+    assert(doc.select("[face~=Times]").length == 1)
+    // dash-match: lang|=en matches lang="en" (on html)
+    assert(doc.select("html").length == 1)
+  }
+
+  test("dash-match semantics") {
+    val doc = Doc.parse("""<div><p lang="en">a</p><p lang="en-US">b</p><p lang="enx">c</p></div>""")
+    assert(doc.select("p[lang|=en]").text == "ab")
+  }
+
+  test("is / is_selection / filter (selection-query.rs:15-80)") {
+    val doc = Doc.parse(HEADING)
+    val sel = doc.select("div.content")
+    assert(sel.select("h1").exists)
+    val filtered = sel.filter("div.text-content")
+    assert(!filtered.select("h1").exists)
+    assert(sel.select("h1").exists)
+    assert(doc.select("div").isSelection(doc.select(".text-content")))
+    assert(!doc.select("div").isSelection(doc.select("a")))
+  }
+
+  test("add / addSelection union keeps first-occurrence order (selection.rs:345-428)") {
+    val doc = Doc.parse(LINKS)
+    val a = doc.select(".first-link")
+    val union = a.add(".second-link")
+    assert(union.length == 2)
+    val all = union.addSelection(doc.select("a"))
+    assert(all.length == 3)
+  }
+
+  test("select_single / first early exit (Q2)") {
+    val doc = Doc.parse(SIMPLE_LIST)
+    assert(doc.selectSingle("ul li").text == "1")
+    assert(doc.selectSingle("nothing").length == 0)
+  }
+
+  test("combinators: child, adjacent, sibling") {
+    val doc = Doc.parse(SIMPLE_LIST)
+    assert(doc.select("ul > li").length == 4)
+    assert(doc.select("li + li").length == 2)
+    assert(doc.select("li ~ li").length == 2)
+    assert(doc.select("body ul li").length == 4)
+  }
+
+  test(":root matches html element") {
+    val doc = Doc.parse(LIST)
+    val r = doc.select(":root")
+    assert(r.length == 1)
+    assert(doc.acc.name(r.ids.head) == "html")
+  }
+
+  test("base_uri fast path (F5, tree.rs:86-95)") {
+    val doc = Doc.parse("""<html><head><base href="https://ex.com/a/"></head><body></body></html>""")
+    assert(doc.baseUri.contains("https://ex.com/a/"))
+    assert(Doc.parse(LIST).baseUri.isEmpty)
+  }
+
+  test("find name path (F1)") {
+    val doc = Doc.parse(README_PAGE)
+    assert(doc.find(Seq("body", "ul", "li")).length == 3)
+  }
+
+  test("span-sequence invariant: preorder ids & subtree_end contiguity") {
+    val doc = Doc.parse(ANCESTORS)
+    val recs = doc.toRecs
+    // preorder-numbered: children ids always greater than parent
+    recs.zipWithIndex.foreach { case (r, i) =>
+      if (r.parent != -1) assert(r.parent < i)
+      assert(r.subtree_end >= i)
+    }
+    // subtree of great-ancestor is the contiguous range (idx, subtree_end]
+    val ga = doc.select("#great-ancestor").ids.head
+    val inRange = (ga + 1) to recs(ga).subtree_end
+    val walked = doc.arena.descendants(ga).toList
+    assert(walked.sorted == inRange.toList)
+  }
+
+  test("structural validation oracle on fresh parses (C4)") {
+    Seq(ANCESTORS, LIST, HEADING, LINKS, SIMPLE_LIST, EMPTY_HEADINGS, ATTRS, README_PAGE)
+      .foreach { html => assert(Doc.parse(html).validate.isEmpty) }
+  }
+}
