@@ -23,8 +23,9 @@ trait NodeAccess {
   def lastChild(i: Int): Int
 
   // --- derived helpers (pointer walks; always correct, even post-mutation) ---
-  final def isElement(i: Int): Boolean = kind(i) == "element"
-  final def isText(i: Int): Boolean = kind(i) == "text"
+  // overridable so columnar views can compare kind bytes without allocating
+  def isElement(i: Int): Boolean = kind(i) == "element"
+  def isText(i: Int): Boolean = kind(i) == "text"
 
   final def prevElemSibling(i: Int): Int = {
     var p = prevSibling(i)

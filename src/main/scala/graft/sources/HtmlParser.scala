@@ -413,8 +413,19 @@ object HtmlParser {
         appendNode(target, new MutNode(NodeKind.Comment, text = s))
 
       case TText(s) =>
+        // is the insertion point inside the head subtree (e.g. <title> text)?
+        def underHead: Boolean = {
+          if (headId == -1) return false
+          var p = curParent
+          while (p != -1) {
+            if (p == headId) return true
+            p = arena(p).parent
+          }
+          false
+        }
         if (fragment) appendText(curParent, s)
         else if (bodyStarted) appendText(curParent, s)
+        else if (underHead) appendText(curParent, s)
         else if (s.forall(Character.isWhitespace)) {
           // before-html/before-head: ignore; in-head: insert into head;
           // after-head: insert under html (spec "insert the character")

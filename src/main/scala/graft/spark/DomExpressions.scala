@@ -1,0 +1,342 @@
+package graft.spark
+
+import graft.css.{Engine, SelectorAst}
+import graft.model.Arena
+import graft.ops.TreeOps
+import graft.sources.{HtmlParser, Serializer}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Custom Catalyst expressions for the dom_query operator surface
+ * (SURVEY.md §2.10). These evaluate per-row on Tungsten data via
+ * [[ArrayDataAccess]] — no Row/encoder conversion in the hot path, which is
+ * why they beat Scala UDFs (preference order per the Spark guide:
+ * built-ins > custom Expression > UDF). All are deterministic and null-safe;
+ * CodegenFallback keeps surrounding expressions inside whole-stage codegen
+ * while these evaluate interpreted.
+ *
+ * The selector string must be a foldable literal — the plan compiles ONCE on
+ * first evaluation (the reference's reusable-Matcher pattern,
+ * `src/matcher.rs:24-33`, README.md:294-315).
+ */
+object DomExprUtil {
+  def compile(e: Expression): List[SelectorAst.Complex] = {
+    require(e.foldable, "selector must be a literal")
+    SelectorAst.parse(e.eval(InternalRow.empty).toString)
+  }
+  def intsToArray(xs: Array[Int]): GenericArrayData =
+    new GenericArrayData(xs.map(x => x: Any))
+  def idsFrom(a: ArrayData): Seq[Int] = {
+    val n = a.numElements()
+    (0 until n).map(a.getInt)
+  }
+}
+
+/** `parse_html(html)` / `parse_fragment(html)` → ARRAY<STRUCT<node>> (S1/S2). */
+case class ParseHtml(child: Expression, fragment: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = NodeSchema.nodesArrayType
+  override def nullSafeEval(html: Any): Any = {
+    val recs = HtmlParser.parseToRecs(html.toString, fragment)
+    NodeSchema.recsToArrayData(recs)
+  }
+  override def prettyName: String = if (fragment) "parse_fragment" else "parse_html"
+  override protected def withNewChildInternal(c: Expression): ParseHtml = copy(child = c)
+}
+
+/** `css_select(nodes, 'css')` → ARRAY<INT> of matches under the root (Q1). */
+case class CssSelect(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  @transient private lazy val plan = DomExprUtil.compile(right)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(nodes: Any, css: Any): Any = {
+    val acc = new ArrayDataAccess(nodes.asInstanceOf[ArrayData])
+    if (acc.size == 0) return DomExprUtil.intsToArray(Array.empty)
+    DomExprUtil.intsToArray(Engine.select(acc, Seq(0), plan))
+  }
+  override def prettyName: String = "css_select"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CssSelect =
+    copy(left = l, right = r)
+}
+
+/** `css_select_first(nodes, 'css')` → INT index of first match or -1 (Q2). */
+case class CssSelectFirst(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  @transient private lazy val plan = DomExprUtil.compile(right)
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(nodes: Any, css: Any): Any = {
+    val acc = new ArrayDataAccess(nodes.asInstanceOf[ArrayData])
+    if (acc.size == 0) -1 else Engine.selectFirst(acc, Seq(0), plan)
+  }
+  override def prettyName: String = "css_select_first"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CssSelectFirst =
+    copy(left = l, right = r)
+}
+
+/** `css_select_under(nodes, ids, 'css')` → chained sub-select (Q3);
+  * roots themselves never match. */
+case class CssSelectUnder(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  @transient private lazy val plan = DomExprUtil.compile(third)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(nodes: Any, ids: Any, css: Any): Any = {
+    val acc = new ArrayDataAccess(nodes.asInstanceOf[ArrayData])
+    val roots = DomExprUtil.idsFrom(ids.asInstanceOf[ArrayData])
+    DomExprUtil.intsToArray(Engine.select(acc, roots, plan))
+  }
+  override def prettyName: String = "css_select_under"
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
+    copy(first = f, second = s, third = t)
+}
+
+/** `css_filter(nodes, ids, 'css')` → ids whose node matches (Q4, is-semantics). */
+case class CssFilter(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  @transient private lazy val plan = DomExprUtil.compile(third)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(nodes: Any, ids: Any, css: Any): Any = {
+    val acc = new ArrayDataAccess(nodes.asInstanceOf[ArrayData])
+    val roots = DomExprUtil.idsFrom(ids.asInstanceOf[ArrayData])
+    DomExprUtil.intsToArray(roots.filter(i => Engine.matches(acc, i, plan)).toArray)
+  }
+  override def prettyName: String = "css_filter"
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
+    copy(first = f, second = s, third = t)
+}
+
+/** `css_is(nodes, ids, 'css')` → BOOLEAN: any selected node matches (Q8). */
+case class CssIs(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  @transient private lazy val plan = DomExprUtil.compile(third)
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(nodes: Any, ids: Any, css: Any): Any = {
+    val acc = new ArrayDataAccess(nodes.asInstanceOf[ArrayData])
+    DomExprUtil.idsFrom(ids.asInstanceOf[ArrayData])
+      .exists(i => Engine.matches(acc, i, plan))
+  }
+  override def prettyName: String = "css_is"
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
+    copy(first = f, second = s, third = t)
+}
+
+/** `dom_text(nodes, ids)` → concatenated subtree text of all ids (X6). */
+case class DomText(left: Expression, right: Expression, immediate: Boolean = false)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(nodes: Any, ids: Any): Any = {
+    val acc = new ArrayDataAccess(nodes.asInstanceOf[ArrayData])
+    val sb = new java.lang.StringBuilder
+    DomExprUtil.idsFrom(ids.asInstanceOf[ArrayData]).foreach { i =>
+      if (immediate) {
+        if (acc.isText(i) && acc.text(i) != null) sb.append(acc.text(i))
+        var c = acc.firstChild(i)
+        while (c != -1) {
+          if (acc.isText(c) && acc.text(c) != null) sb.append(acc.text(c))
+          c = acc.nextSibling(c)
+        }
+      } else sb.append(Engine.subtreeText(acc, i))
+    }
+    UTF8String.fromString(sb.toString)
+  }
+  override def prettyName: String = if (immediate) "dom_immediate_text" else "dom_text"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DomText =
+    copy(left = l, right = r)
+}
+
+/** `dom_attr(nodes, ids, 'key')` → attr of FIRST id, null if absent (X1). */
+case class DomAttr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(nodes: Any, ids: Any, key: Any): Any = {
+    val acc = new ArrayDataAccess(nodes.asInstanceOf[ArrayData])
+    val idArr = ids.asInstanceOf[ArrayData]
+    if (idArr.numElements() == 0) return null
+    acc.attrU(idArr.getInt(0), key.asInstanceOf[UTF8String])
+  }
+  override def prettyName: String = "dom_attr"
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
+    copy(first = f, second = s, third = t)
+}
+
+/** `dom_html(nodes, ids, include_root)` → HTML of first id (S4/X9). */
+case class DomHtml(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(nodes: Any, ids: Any, includeRoot: Any): Any = {
+    val acc = new ArrayDataAccess(nodes.asInstanceOf[ArrayData])
+    val idArr = ids.asInstanceOf[ArrayData]
+    if (idArr.numElements() == 0) return null
+    val h = Serializer.toHtml(acc, idArr.getInt(0), includeRoot.asInstanceOf[Boolean],
+      acc.templateContents)
+    UTF8String.fromString(h)
+  }
+  override def prettyName: String = "dom_html"
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
+    copy(first = f, second = s, third = t)
+}
+
+/** `dom_formatted_text(nodes, ids)` → formatted text of all ids (S6/X8). */
+case class DomFormattedText(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(nodes: Any, ids: Any): Any = {
+    val acc = new ArrayDataAccess(nodes.asInstanceOf[ArrayData])
+    val sb = new java.lang.StringBuilder
+    DomExprUtil.idsFrom(ids.asInstanceOf[ArrayData]).foreach { i =>
+      sb.append(Serializer.formattedText(acc, i, includeRoot = true))
+    }
+    UTF8String.fromString(sb.toString)
+  }
+  override def prettyName: String = "dom_formatted_text"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** `dom_md(nodes, ids)` → markdown of first id (S5). */
+case class DomMd(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(nodes: Any, ids: Any): Any = {
+    val acc = new ArrayDataAccess(nodes.asInstanceOf[ArrayData])
+    val idArr = ids.asInstanceOf[ArrayData]
+    if (idArr.numElements() == 0) return null
+    UTF8String.fromString(Serializer.toMd(acc, idArr.getInt(0), includeRoot = true))
+  }
+  override def prettyName: String = "dom_md"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** `dom_norm_char_count(nodes, ids)` → X11 streaming fold. */
+case class DomNormCharCount(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(nodes: Any, ids: Any): Any = {
+    val acc = new ArrayDataAccess(nodes.asInstanceOf[ArrayData])
+    var total = 0L
+    DomExprUtil.idsFrom(ids.asInstanceOf[ArrayData]).foreach { root =>
+      var count = 0L
+      var lastWasWs = true
+      var stack: List[Int] = List(root)
+      while (stack.nonEmpty) {
+        val cur = stack.head
+        stack = stack.tail
+        if (acc.isText(cur)) {
+          val t = acc.text(cur)
+          if (t != null) t.foreach { ch =>
+            val ws = Character.isWhitespace(ch) || Character.isSpaceChar(ch)
+            if (!(lastWasWs && ws)) count += 1
+            lastWasWs = ws
+          }
+        }
+        var kids: List[Int] = Nil
+        var c = acc.lastChild(cur)
+        while (c != -1) { kids = c :: kids; c = acc.prevSibling(c) }
+        stack = kids ::: stack
+      }
+      if (lastWasWs && count > 0) count -= 1
+      total += count
+    }
+    total
+  }
+  override def prettyName: String = "dom_norm_char_count"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/**
+ * `dom_mutate(nodes, 'css', 'op', arg1, arg2)` → new nodes array with the
+ * mutation applied to every node matching the selector (M1-M18 dispatch).
+ * Ops: set_attr(k,v) remove_attr(k) add_class(c) remove_class(c) rename(n)
+ * set_text(t) remove() append_html(h) prepend_html(h) set_html(h)
+ * before_html(h) after_html(h) replace_with_html(h) wrap_html(h) unwrap()
+ * strip_elements(names-csv) normalize().
+ *
+ * The rebuild goes ArrayData → Arena → pointer surgery → records → ArrayData;
+ * derived structural columns are recomputed (post-mutation trees lose
+ * preorder contiguity — ids stay stable like the reference, `ops.rs:350-383`).
+ */
+case class DomMutate(children: Seq[Expression]) extends Expression with CodegenFallback {
+  require(children.length == 5, "dom_mutate(nodes, css, op, arg1, arg2)")
+  @transient private lazy val plan = DomExprUtil.compile(children(1))
+  private lazy val opName = children(2).eval(InternalRow.empty).toString
+  override def dataType: DataType = NodeSchema.nodesArrayType
+  override def nullable: Boolean = children.head.nullable
+  override def foldable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val nodesVal = children.head.eval(input)
+    if (nodesVal == null) return null
+    val a1 = children(3).eval(input)
+    val a2 = children(4).eval(input)
+    val arg1 = if (a1 == null) null else a1.toString
+    val arg2 = if (a2 == null) null else a2.toString
+    val acc = new ArrayDataAccess(nodesVal.asInstanceOf[ArrayData])
+    val arena = Arena.fromRecs(acc.toRecs.toSeq)
+    val targets = Engine.select(new graft.css.ArenaAccess(arena), Seq(0), plan)
+    targets.foreach { t =>
+      opName match {
+        case "set_attr" => TreeOps.setAttr(arena, t, arg1, arg2)
+        case "remove_attr" => TreeOps.removeAttrs(arena, t, Seq(arg1))
+        case "add_class" => TreeOps.addClass(arena, t, arg1)
+        case "remove_class" => TreeOps.removeClass(arena, t, arg1)
+        case "rename" => TreeOps.rename(arena, t, arg1)
+        case "set_text" => TreeOps.setText(arena, t, arg1)
+        case "remove" => TreeOps.removeFromParent(arena, t)
+        case "append_html" => TreeOps.appendHtml(arena, t, arg1)
+        case "prepend_html" => TreeOps.prependHtml(arena, t, arg1)
+        case "set_html" => TreeOps.setHtml(arena, t, arg1)
+        case "before_html" => TreeOps.beforeHtml(arena, t, arg1)
+        case "after_html" => TreeOps.afterHtml(arena, t, arg1)
+        case "replace_with_html" => TreeOps.replaceWithHtml(arena, t, arg1)
+        case "wrap_html" => TreeOps.wrapHtml(arena, t, arg1)
+        case "unwrap" => TreeOps.unwrapNode(arena, t)
+        case "strip_elements" => TreeOps.stripElements(arena, t, arg1.split(",").toSet)
+        case "normalize" => TreeOps.normalize(arena, t)
+        case other => throw new IllegalArgumentException(s"unknown dom_mutate op '$other'")
+      }
+    }
+    NodeSchema.recsToArrayData(arena.toRecs)
+  }
+  override def prettyName: String = "dom_mutate"
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): DomMutate =
+    copy(children = cs)
+}
+
+/** `dom_validate(nodes)` → NULL if structurally valid else the violation (C4). */
+case class DomValidate(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(nodes: Any): Any = {
+    val acc = new ArrayDataAccess(nodes.asInstanceOf[ArrayData])
+    TreeOps.validate(Arena.fromRecs(acc.toRecs.toSeq)) match {
+      case Some(msg) => UTF8String.fromString(msg)
+      case None => null
+    }
+  }
+  override def prettyName: String = "dom_validate"
+  override protected def withNewChildInternal(c: Expression): DomValidate = copy(child = c)
+}
+
+/** `dom_base_uri(nodes)` → the cached `html>head>base[href]` walk (F5). */
+case class DomBaseUri(child: Expression) extends UnaryExpression with CodegenFallback {
+  @transient private lazy val plan = SelectorAst.parse("html > head > base[href]")
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(nodes: Any): Any = {
+    val acc = new ArrayDataAccess(nodes.asInstanceOf[ArrayData])
+    if (acc.size == 0) return null
+    val f = Engine.selectFirst(acc, Seq(0), plan)
+    if (f == -1) null else acc.attrU(f, UTF8String.fromString("href"))
+  }
+  override def prettyName: String = "dom_base_uri"
+  override protected def withNewChildInternal(c: Expression): DomBaseUri = copy(child = c)
+}

@@ -1,0 +1,83 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.functions.{call_function, lit}
+
+/**
+ * Session-level registration of the dom_query expression surface, plus typed
+ * Column wrappers. Registered in the session FunctionRegistry so the
+ * operators are usable from both the DataFrame API and plain SQL
+ * (`SELECT css_select(nodes, 'div.a') FROM docs`).
+ *
+ * Idempotent — call `GraftFunctions.register(spark)` at the top of every
+ * entry point.
+ */
+object GraftFunctions {
+
+  private def classic(spark: SparkSession): org.apache.spark.sql.classic.SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+
+  def register(spark: SparkSession): Unit = {
+    val reg = classic(spark).sessionState.functionRegistry
+    def add(name: String)(builder: Seq[Expression] => Expression): Unit =
+      reg.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.spark", name),
+        builder)
+
+    add("parse_html")(es => ParseHtml(es.head, fragment = false))
+    add("parse_fragment")(es => ParseHtml(es.head, fragment = true))
+    add("css_select")(es => CssSelect(es(0), es(1)))
+    add("css_select_first")(es => CssSelectFirst(es(0), es(1)))
+    add("css_select_under")(es => CssSelectUnder(es(0), es(1), es(2)))
+    add("css_filter")(es => CssFilter(es(0), es(1), es(2)))
+    add("css_is")(es => CssIs(es(0), es(1), es(2)))
+    add("dom_text")(es => DomText(es(0), es(1)))
+    add("dom_immediate_text")(es => DomText(es(0), es(1), immediate = true))
+    add("dom_attr")(es => DomAttr(es(0), es(1), es(2)))
+    add("dom_html")(es => DomHtml(es(0), es(1), es(2)))
+    add("dom_formatted_text")(es => DomFormattedText(es(0), es(1)))
+    add("dom_md")(es => DomMd(es(0), es(1)))
+    add("dom_norm_char_count")(es => DomNormCharCount(es(0), es(1)))
+    add("dom_mutate") { es =>
+      val padded = es ++ Seq.fill(5 - es.length)(Literal(null))
+      DomMutate(padded)
+    }
+    add("dom_validate")(es => DomValidate(es.head))
+    add("dom_base_uri")(es => DomBaseUri(es.head))
+  }
+
+  // --- typed Column wrappers --------------------------------------------------
+
+  def parse_html(html: Column): Column = call_function("parse_html", html)
+  def parse_fragment(html: Column): Column = call_function("parse_fragment", html)
+  def css_select(nodes: Column, css: String): Column =
+    call_function("css_select", nodes, lit(css))
+  def css_select_first(nodes: Column, css: String): Column =
+    call_function("css_select_first", nodes, lit(css))
+  def css_select_under(nodes: Column, ids: Column, css: String): Column =
+    call_function("css_select_under", nodes, ids, lit(css))
+  def css_filter(nodes: Column, ids: Column, css: String): Column =
+    call_function("css_filter", nodes, ids, lit(css))
+  def css_is(nodes: Column, ids: Column, css: String): Column =
+    call_function("css_is", nodes, ids, lit(css))
+  def dom_text(nodes: Column, ids: Column): Column = call_function("dom_text", nodes, ids)
+  def dom_immediate_text(nodes: Column, ids: Column): Column =
+    call_function("dom_immediate_text", nodes, ids)
+  def dom_attr(nodes: Column, ids: Column, key: String): Column =
+    call_function("dom_attr", nodes, ids, lit(key))
+  def dom_html(nodes: Column, ids: Column, includeRoot: Boolean = true): Column =
+    call_function("dom_html", nodes, ids, lit(includeRoot))
+  def dom_formatted_text(nodes: Column, ids: Column): Column =
+    call_function("dom_formatted_text", nodes, ids)
+  def dom_md(nodes: Column, ids: Column): Column = call_function("dom_md", nodes, ids)
+  def dom_norm_char_count(nodes: Column, ids: Column): Column =
+    call_function("dom_norm_char_count", nodes, ids)
+  def dom_mutate(nodes: Column, css: String, op: String,
+      arg1: Column = lit(null), arg2: Column = lit(null)): Column =
+    call_function("dom_mutate", nodes, lit(css), lit(op), arg1, arg2)
+  def dom_validate(nodes: Column): Column = call_function("dom_validate", nodes)
+  def dom_base_uri(nodes: Column): Column = call_function("dom_base_uri", nodes)
+}

@@ -1,0 +1,203 @@
+package graft.spark
+
+import graft.css.NodeAccess
+import graft.model.NodeRec
+import graft.sources.AttrIterable
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Canonical Spark schema of the per-document `nodes` array — the columnar
+ * encoding of the reference arena (SURVEY.md §1.4). Field order is the
+ * contract for the expressions in [[DomExpressions]].
+ */
+object NodeSchema {
+
+  val nodeStruct: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("name", StringType),
+    StructField("attrs", MapType(StringType, StringType)),
+    StructField("class_list", ArrayType(StringType)),
+    StructField("text", StringType),
+    StructField("media_ref", StringType),
+    StructField("parent", IntegerType, nullable = false),
+    StructField("prev_sibling", IntegerType, nullable = false),
+    StructField("next_sibling", IntegerType, nullable = false),
+    StructField("first_child", IntegerType, nullable = false),
+    StructField("last_child", IntegerType, nullable = false),
+    StructField("template_contents", IntegerType, nullable = false),
+    StructField("depth", IntegerType, nullable = false),
+    StructField("subtree_end", IntegerType, nullable = false),
+    StructField("elem_pos_in_parent", IntegerType, nullable = false),
+    StructField("elem_pos_from_end", IntegerType, nullable = false),
+    StructField("type_pos_in_parent", IntegerType, nullable = false),
+    StructField("n_elem_children", IntegerType, nullable = false),
+    StructField("prev_elem_sib", IntegerType, nullable = false),
+    StructField("next_elem_sib", IntegerType, nullable = false)
+  ))
+
+  val nodesArrayType: ArrayType = ArrayType(nodeStruct, containsNull = false)
+
+  // field ordinals (must match nodeStruct above)
+  final val KIND = 0
+  final val NAME = 1
+  final val ATTRS = 2
+  final val CLASS_LIST = 3
+  final val TEXT = 4
+  final val MEDIA_REF = 5
+  final val PARENT = 6
+  final val PREV_SIBLING = 7
+  final val NEXT_SIBLING = 8
+  final val FIRST_CHILD = 9
+  final val LAST_CHILD = 10
+  final val TEMPLATE_CONTENTS = 11
+  final val DEPTH = 12
+  final val SUBTREE_END = 13
+  final val N_FIELDS = 20
+
+  /** Convert engine records to Catalyst values (for ParseHtml & friends). */
+  def recsToArrayData(recs: Array[NodeRec]): GenericArrayData = {
+    val rows = new Array[Any](recs.length)
+    var i = 0
+    while (i < recs.length) {
+      val r = recs(i)
+      val vals = new Array[Any](N_FIELDS)
+      vals(KIND) = UTF8String.fromString(r.kind)
+      vals(NAME) = if (r.name == null) null else UTF8String.fromString(r.name)
+      vals(ATTRS) =
+        if (r.attrs == null) null
+        else {
+          val ks = new Array[Any](r.attrs.size)
+          val vs = new Array[Any](r.attrs.size)
+          var j = 0
+          r.attrs.foreach { case (k, v) =>
+            ks(j) = UTF8String.fromString(k); vs(j) = UTF8String.fromString(v); j += 1
+          }
+          new ArrayBasedMapData(new GenericArrayData(ks), new GenericArrayData(vs))
+        }
+      vals(CLASS_LIST) =
+        if (r.class_list == null) null
+        else new GenericArrayData(r.class_list.map(c => UTF8String.fromString(c)).toArray[Any])
+      vals(TEXT) = if (r.text == null) null else UTF8String.fromString(r.text)
+      vals(MEDIA_REF) = if (r.media_ref == null) null else UTF8String.fromString(r.media_ref)
+      vals(PARENT) = r.parent
+      vals(PREV_SIBLING) = r.prev_sibling
+      vals(NEXT_SIBLING) = r.next_sibling
+      vals(FIRST_CHILD) = r.first_child
+      vals(LAST_CHILD) = r.last_child
+      vals(TEMPLATE_CONTENTS) = r.template_contents
+      vals(DEPTH) = r.depth
+      vals(SUBTREE_END) = r.subtree_end
+      vals(14) = r.elem_pos_in_parent
+      vals(15) = r.elem_pos_from_end
+      vals(16) = r.type_pos_in_parent
+      vals(17) = r.n_elem_children
+      vals(18) = r.prev_elem_sib
+      vals(19) = r.next_elem_sib
+      rows(i) = InternalRow.fromSeq(vals.toSeq)
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+}
+
+/**
+ * Zero-copy [[NodeAccess]] view over a Catalyst `ARRAY<STRUCT<node>>` value —
+ * the selector engine runs directly on Tungsten data (UnsafeArrayData /
+ * GenericArrayData), no Row conversion. Kind checks compare UTF8String bytes.
+ */
+final class ArrayDataAccess(arr: ArrayData) extends NodeAccess with AttrIterable {
+  import NodeSchema._
+
+  private val n = arr.numElements()
+  // cache the per-node InternalRows (getStruct is O(1) but repeated calls add up)
+  private val rows = new Array[InternalRow](n)
+  private def row(i: Int): InternalRow = {
+    var r = rows(i)
+    if (r == null) { r = arr.getStruct(i, N_FIELDS); rows(i) = r }
+    r
+  }
+
+  private val ELEMENT = UTF8String.fromString("element")
+  private val TEXTK = UTF8String.fromString("text")
+
+  def size: Int = n
+  def kind(i: Int): String = row(i).getUTF8String(KIND).toString
+  override def isElement(i: Int): Boolean = row(i).getUTF8String(KIND).equals(ELEMENT)
+  override def isText(i: Int): Boolean = row(i).getUTF8String(KIND).equals(TEXTK)
+  def name(i: Int): String = {
+    val r = row(i)
+    if (r.isNullAt(NAME)) null else r.getUTF8String(NAME).toString
+  }
+  def nameU(i: Int): UTF8String = {
+    val r = row(i)
+    if (r.isNullAt(NAME)) null else r.getUTF8String(NAME)
+  }
+  def text(i: Int): String = {
+    val r = row(i)
+    if (r.isNullAt(TEXT)) null else r.getUTF8String(TEXT).toString
+  }
+  def mediaRef(i: Int): String = {
+    val r = row(i)
+    if (r.isNullAt(MEDIA_REF)) null else r.getUTF8String(MEDIA_REF).toString
+  }
+  def attr(i: Int, key: String): String = {
+    val u = attrU(i, UTF8String.fromString(key))
+    if (u == null) null else u.toString
+  }
+  def attrU(i: Int, key: UTF8String): UTF8String = {
+    val r = row(i)
+    if (r.isNullAt(ATTRS)) return null
+    val m: MapData = r.getMap(ATTRS)
+    val ks = m.keyArray()
+    var j = 0
+    val cnt = m.numElements()
+    while (j < cnt) {
+      if (ks.getUTF8String(j).equals(key)) return m.valueArray().getUTF8String(j)
+      j += 1
+    }
+    null
+  }
+  def hasAttr(i: Int, key: String): Boolean = attrU(i, UTF8String.fromString(key)) != null
+  def parent(i: Int): Int = row(i).getInt(PARENT)
+  def prevSibling(i: Int): Int = row(i).getInt(PREV_SIBLING)
+  def nextSibling(i: Int): Int = row(i).getInt(NEXT_SIBLING)
+  def firstChild(i: Int): Int = row(i).getInt(FIRST_CHILD)
+  def lastChild(i: Int): Int = row(i).getInt(LAST_CHILD)
+  def templateContents(i: Int): Int = row(i).getInt(TEMPLATE_CONTENTS)
+  def subtreeEnd(i: Int): Int = row(i).getInt(SUBTREE_END)
+
+  def attrEntries(id: Int): Seq[(String, String)] = {
+    val r = row(id)
+    if (r.isNullAt(ATTRS)) return Nil
+    val m = r.getMap(ATTRS)
+    (0 until m.numElements()).map { j =>
+      (m.keyArray().getUTF8String(j).toString, m.valueArray().getUTF8String(j).toString)
+    }
+  }
+
+  /** Rebuild engine records (for mutation expressions that need an Arena). */
+  def toRecs: Array[NodeRec] = Array.tabulate(n) { i =>
+    val r = row(i)
+    NodeRec(
+      kind = kind(i), name = name(i),
+      attrs = if (r.isNullAt(ATTRS)) null
+        else scala.collection.immutable.VectorMap(attrEntries(i): _*),
+      class_list = if (r.isNullAt(CLASS_LIST)) null
+        else {
+          val a = r.getArray(CLASS_LIST)
+          (0 until a.numElements()).map(j => a.getUTF8String(j).toString)
+        },
+      text = text(i), media_ref = mediaRef(i),
+      parent = parent(i), prev_sibling = prevSibling(i), next_sibling = nextSibling(i),
+      first_child = firstChild(i), last_child = lastChild(i),
+      template_contents = templateContents(i),
+      depth = r.getInt(DEPTH), subtree_end = subtreeEnd(i),
+      elem_pos_in_parent = r.getInt(14), elem_pos_from_end = r.getInt(15),
+      type_pos_in_parent = r.getInt(16), n_elem_children = r.getInt(17),
+      prev_elem_sib = r.getInt(18), next_elem_sib = r.getInt(19)
+    )
+  }
+}

@@ -1,0 +1,79 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic synthesized document tables over the driver's read-only
+ * parquet testdata (TESTDATA.md; FIXTURES.md §4). No randomness, no external
+ * data — every value is a pure function of the base tables, so the DuckDB
+ * oracle can compute expected query outputs relationally from the same
+ * parquet while the Spark side exercises the real engine
+ * (HTML synthesis → parse_html → selector engine → extraction).
+ *
+ * Two shapes:
+ *  - `partDocs`: one catalog-like page per `part` row — fixed scaffold +
+ *    variable-length <li> list (one per word of p_name).
+ *  - `hnDocs`: one hacker_news-like page per `orders` row (the reference's
+ *    flagship workload, `examples/hacker_news.rs:7-13` + BASELINE.md selector
+ *    `body td.title a[href]`).
+ */
+object SynthDocs {
+
+  /** class-safe brand token: "Brand#13" → "brand-13" */
+  private def brandCls(c: Column): Column = lower(regexp_replace(c, "#", "-"))
+
+  def partHtml(partkey: Column, name: Column, brand: Column, ptype: Column,
+      size: Column): Column =
+    concat(
+      lit("<html><head><title>Part "), partkey,
+      lit("</title><base href=\"https://parts.example/catalog/\"></head><body>"),
+      lit("<div id=\"main\" class=\"part "), brandCls(brand), lit("\">"),
+      lit("<a href=\"/part/"), partkey, lit("\" class=\"plink\">"), ptype, lit("</a>"),
+      lit("<ul class=\"words\">"),
+      concat_ws("", transform(split(name, " "),
+        w => concat(lit("<li>"), w, lit("</li>")))),
+      lit("</ul><p class=\"sz\">size "), size, lit("</p></div></body></html>")
+    )
+
+  /** part-catalog docs: (doc_id, html, nodes). */
+  def partDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val part = spark.read.parquet(s"$sfDir/part.parquet")
+    part
+      .select(
+        col("p_partkey").cast("string").as("doc_id"),
+        partHtml(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
+          col("p_size")).as("html"))
+      .withColumn("nodes", GraftFunctions.parse_html(col("html")))
+  }
+
+  /** hacker_news-like docs from orders: one story row per order.
+    * Story link = /item?id=<orderkey>; site = host derived from custkey. */
+  def hnHtml(orderkey: Column, custkey: Column, status: Column, priority: Column): Column =
+    concat(
+      lit("<html><head><title>News</title>"),
+      lit("<base href=\"https://news.example/\"></head><body><table class=\"itemlist\">"),
+      lit("<tr class=\"athing\" id=\""), orderkey, lit("\">"),
+      lit("<td class=\"title\"><a href=\"item?id="), orderkey,
+      lit("\" id=\"link-"), orderkey, lit("\" class=\"storylink\">Order "), orderkey,
+      lit(" ["), priority, lit("]</a>"),
+      lit("<span class=\"sitebit\"><a href=\"https://cust-"), custkey,
+      lit(".example/\">cust-"), custkey, lit(".example</a></span></td></tr>"),
+      lit("<tr><td class=\"subtext\"><span class=\"score\">"),
+      (custkey % 500) + 1, lit(" points</span>"),
+      lit(" status <b>"), status, lit("</b></td></tr>"),
+      lit("</table></body></html>")
+    )
+
+  def hnDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    orders
+      .select(
+        col("o_orderkey").cast("string").as("doc_id"),
+        hnHtml(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderpriority")).as("html"))
+      .withColumn("nodes", GraftFunctions.parse_html(col("html")))
+  }
+}
