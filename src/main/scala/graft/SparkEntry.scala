@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.spark.{GraftFunctions => F, SynthDocs}
+import graft.crawl.Frontier
 
 /**
  * Driver contract (see SURVEY.md §7). Every entry exercises one operator
@@ -159,8 +160,68 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // flagship link extraction (P10 :has + Q3 chains + X1/X6)
-    "q_links" -> ((s, dir) => qLinks(s, dir))
+    "q_links" -> ((s, dir) => qLinks(s, dir)),
+
+    // crawl layer: URL canonicalizer over deterministic messy variants
+    "q_url_canonicalize" -> ((s, dir) => {
+      graft.spark.GraftFunctions.register(s)
+      val part = s.read.parquet(s"$dir/part.parquet")
+      val raw = when(pmod(col("p_partkey"), lit(5)) === 0,
+          concat(lit("HTTPS://Parts.Example:443/catalog/x/../item/"), col("p_partkey"), lit("#frag")))
+        .when(pmod(col("p_partkey"), lit(5)) === 1,
+          concat(lit("item/"), col("p_partkey"), lit("?a=1")))
+        .when(pmod(col("p_partkey"), lit(5)) === 2,
+          concat(lit("http://parts.example:80/item/"), col("p_partkey")))
+        .when(pmod(col("p_partkey"), lit(5)) === 3, lit("mailto:someone@example.com"))
+        .otherwise(concat(lit("/rooted/"), col("p_partkey")))
+      part.select(col("p_partkey").cast("string").as("doc_id"),
+          F.canonicalize_url(raw, lit("https://parts.example/catalog/")).as("canon"))
+        .orderBy("doc_id")
+    }),
+
+    // crawl layer: candidate dedup + URL-seen anti-join, per-host counts
+    "q_crawl_dedup" -> ((s, dir) => {
+      val (frontier, seen) = synthFrontier(s, dir)
+      Frontier.filterUnseen(Frontier.dedupCandidates(frontier), seen)
+        .groupBy("host").agg(count(lit(1)).as("n_new"))
+        .orderBy("host")
+    }),
+
+    // crawl layer: same result through the bloom-prefilter path (scale path)
+    "q_crawl_dedup_bloom" -> ((s, dir) => {
+      val (frontier, seen) = synthFrontier(s, dir)
+      Frontier.filterUnseen(Frontier.dedupCandidates(frontier), seen, bloomBits = 1 << 22)
+        .groupBy("host").agg(count(lit(1)).as("n_new"))
+        .orderBy("host")
+    }),
+
+    // crawl layer: full round — politeness top-B per host + global priority order
+    "q_crawl_schedule" -> ((s, dir) => {
+      val (frontier, seen) = synthFrontier(s, dir)
+      val (sched, _, _) = Frontier.round(frontier, seen, budgetPerHost = 3)
+      sched.select(col("url"), col("host"),
+          col("priority").cast("long").as("priority"),
+          col("seq").cast("long").as("seq"),
+          col("slot").cast("long").as("slot"))
+        .orderBy(col("priority").desc, col("seq").asc, col("url").asc)
+    })
   )
+
+  /** Deterministic synthetic frontier from lineitem: url repeats across
+    * orders (same supplier-host × part) so dedup is meaningful; the seen set
+    * is derivable from the same table on both engines. */
+  private def synthFrontier(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    val f = li.select(
+      concat(lit("https://host-"), pmod(col("l_suppkey"), lit(50)),
+        lit(".example/part/"), col("l_partkey")).as("url"),
+      concat(lit("host-"), pmod(col("l_suppkey"), lit(50)), lit(".example")).as("host"),
+      col("l_linenumber").cast("int").as("priority"),
+      (col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("seq"),
+      col("l_quantity"))
+    val seen = f.filter(col("l_quantity") < 5).select("url").distinct()
+    (f.drop("l_quantity"), seen)
+  }
 
   def oracleSql: Map[String, String] = {
     val W = "len(string_split(p_name, ' '))" // word count
@@ -231,7 +292,47 @@ object SparkEntry {
            'item?id=' || o_orderkey AS href,
            'Order ' || o_orderkey || ' [' || o_orderpriority || ']' AS title,
            'cust-' || o_custkey || '.example' AS source
-           FROM orders ORDER BY doc_id"""
+           FROM orders ORDER BY doc_id""",
+      "q_url_canonicalize" ->
+        """SELECT cast(p_partkey as varchar) AS doc_id,
+           CASE p_partkey % 5
+             WHEN 0 THEN 'https://parts.example/catalog/item/' || p_partkey
+             WHEN 1 THEN 'https://parts.example/catalog/item/' || p_partkey || '?a=1'
+             WHEN 2 THEN 'http://parts.example/item/' || p_partkey
+             WHEN 3 THEN NULL
+             ELSE 'https://parts.example/rooted/' || p_partkey
+           END AS canon
+           FROM part ORDER BY doc_id""",
+      "q_crawl_dedup" -> crawlDedupSql,
+      "q_crawl_dedup_bloom" -> crawlDedupSql,
+      "q_crawl_schedule" ->
+        s"""WITH $frontierCte,
+            cand AS (SELECT url, host, max(priority) AS priority, min(seq) AS seq
+                     FROM f GROUP BY url, host),
+            unseen AS (SELECT * FROM cand WHERE url NOT IN (SELECT url FROM seen)),
+            ranked AS (SELECT *, row_number() OVER
+                         (PARTITION BY host ORDER BY priority DESC, seq ASC, url ASC) - 1 AS slot
+                       FROM unseen)
+            SELECT url, host, cast(priority as bigint) AS priority,
+                   cast(seq as bigint) AS seq, cast(slot as bigint) AS slot
+            FROM ranked WHERE slot < 3
+            ORDER BY priority DESC, seq ASC, url ASC"""
     )
   }
+
+  private val frontierCte =
+    """f AS (SELECT 'https://host-' || (l_suppkey % 50) || '.example/part/' || l_partkey AS url,
+              'host-' || (l_suppkey % 50) || '.example' AS host,
+              l_linenumber AS priority,
+              l_orderkey * 8 + l_linenumber AS seq,
+              l_quantity FROM lineitem),
+       seen AS (SELECT DISTINCT url FROM f WHERE l_quantity < 5)"""
+
+  private val crawlDedupSql =
+    s"""WITH $frontierCte,
+        cand AS (SELECT url, host, max(priority) AS priority, min(seq) AS seq
+                 FROM f GROUP BY url, host),
+        unseen AS (SELECT * FROM cand WHERE url NOT IN (SELECT url FROM seen))
+        SELECT host, cast(count(*) as bigint) AS n_new
+        FROM unseen GROUP BY host ORDER BY host"""
 }

@@ -1,0 +1,205 @@
+package graft.crawl
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/**
+ * The distributed crawl frontier (BASELINE.json north_rule): URL-seen dedup,
+ * per-host politeness gate, priority scheduling — all Spark built-ins
+ * (groupBy/window/anti-join/bloom_filter_agg), shuffles and skew handled
+ * explicitly. This layer is NEW construction (the reference is a single-doc
+ * library, SURVEY.md §2.9); semantics are fixed by [[OracleCrawler]], the
+ * single-threaded reference-faithful model both engines must match.
+ *
+ * Round semantics (deterministic):
+ *  1. candidate dedup: group by url, keep (max priority, min seq)
+ *  2. URL-seen: drop urls already in the seen set
+ *     (bloom prefilter at scale → exact anti-join on the maybe-seen slice)
+ *  3. politeness: at most `budgetPerHost` urls per host per round, picked by
+ *     (priority DESC, seq ASC, url ASC)
+ *  4. scheduled set ordered globally by (priority DESC, seq ASC, url ASC),
+ *     fetch slot assigned per host in that order
+ *  5. seen' = seen ∪ scheduled; deferred (over-budget) urls stay for the
+ *     next round
+ *
+ * Scale design (10^10-URL frontier, SURVEY.md §7.2.8):
+ *  - the frontier/seen tables are hash-partitioned by url — dedup and the
+ *    seen anti-join co-partition on the join key, one shuffle each, no
+ *    broadcast of big sides
+ *  - politeness is the skew point (a hot host = one window partition), so
+ *    top-B per host runs TWO-PHASE: local top-B per (host, salt-of-url,
+ *    16 buckets) then global top-B per host — the per-host partition the
+ *    final window sees is ≤ 16·B rows no matter how hot the host
+ *  - the bloom prefilter (built-in `bloom_filter_agg`, evaluated with
+ *    `might_contain`) keeps the per-round anti-join input to the small
+ *    maybe-seen slice instead of shuffling the whole 10^10-row seen table
+ *  - AQE handles residual skew/coalescing (enabled in session conf)
+ */
+object Frontier {
+
+  val SALT_BUCKETS = 16
+
+  /** Candidate dedup (step 1). Input: url, host, priority, seq. */
+  def dedupCandidates(frontier: DataFrame): DataFrame =
+    frontier.groupBy("url", "host")
+      .agg(max("priority").as("priority"), min("seq").as("seq"))
+
+  /**
+   * URL-seen filter (step 2). `seen` has column `url`.
+   * When `bloomBits > 0`, build a bloom filter over the seen set and
+   * prefilter: definite-negatives skip the join entirely; only the
+   * maybe-seen slice is anti-joined exactly (false positives resolved).
+   */
+  def filterUnseen(candidates: DataFrame, seen: DataFrame, bloomBits: Long = 0L): DataFrame = {
+    if (seen.isEmpty) return candidates
+    if (bloomBits <= 0) {
+      candidates.join(seen.select("url"), Seq("url"), "left_anti")
+    } else {
+      graft.spark.GraftFunctions.register(candidates.sparkSession)
+      // might_contain requires the filter as a scalar subquery: build it as a
+      // one-row aggregate over a temp view — one distributed build, then the
+      // result broadcasts to every task evaluating the predicate.
+      val view = s"graft_seen_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      seen.select("url").createOrReplaceTempView(view)
+      val estItems = math.max(1000000L, bloomBits / 16)
+      val flag = expr(
+        s"""might_contain(
+              (SELECT bloom_filter_agg(xxhash64(url), bigint($estItems), bigint($bloomBits))
+               FROM $view),
+              xxhash64(url))""")
+      val withFlag = candidates.withColumn("maybe_seen", flag)
+      val definiteNew = withFlag.filter(!col("maybe_seen")).drop("maybe_seen")
+      val maybeSeen = withFlag.filter(col("maybe_seen")).drop("maybe_seen")
+        .join(seen.select("url"), Seq("url"), "left_anti")
+      definiteNew.unionByName(maybeSeen)
+    }
+  }
+
+  /**
+   * Politeness + priority scheduling (steps 3-4). Returns the scheduled set
+   * with per-host `slot` (0-based fetch slot inside the round's host queue).
+   * Two-phase top-B per host for hot-host skew.
+   */
+  def schedule(unseen: DataFrame, budgetPerHost: Int): DataFrame = {
+    val order = Seq(col("priority").desc, col("seq").asc, col("url").asc)
+    // phase 1: local top-B inside (host, salt) — caps hot-host partitions
+    val salted = unseen.withColumn("salt", pmod(xxhash64(col("url")), lit(SALT_BUCKETS)))
+    val w1 = Window.partitionBy("host", "salt").orderBy(order: _*)
+    val local = salted
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= budgetPerHost)
+      .drop("r1", "salt")
+    // phase 2: exact top-B per host over ≤ 16·B rows per host
+    val w2 = Window.partitionBy("host").orderBy(order: _*)
+    local
+      .withColumn("slot", row_number().over(w2) - 1)
+      .filter(col("slot") < budgetPerHost)
+  }
+
+  /** Deferred = deduped unseen candidates beyond the host budget. */
+  def deferred(unseen: DataFrame, scheduled: DataFrame): DataFrame =
+    unseen.join(scheduled.select("url"), Seq("url"), "left_anti")
+
+  /** One full crawl round. Returns (scheduled, newSeen, deferredFrontier). */
+  def round(frontier: DataFrame, seen: DataFrame, budgetPerHost: Int,
+      bloomBits: Long = 0L): (DataFrame, DataFrame, DataFrame) = {
+    val candidates = dedupCandidates(frontier)
+    val unseen = filterUnseen(candidates, seen, bloomBits)
+    val sched = schedule(unseen, budgetPerHost)
+    val newSeen = seen.select("url").unionByName(sched.select("url")).distinct()
+    val defer = deferred(unseen, sched)
+    (sched, newSeen, defer)
+  }
+
+  // --- snapshot checkpointing (Iceberg-shaped stand-in; no Iceberg jars in
+  // the image, SURVEY.md §7.0: atomic snapshot dirs + manifest JSON,
+  // LATEST written last = commit point) -------------------------------------
+
+  def snapshotDir(root: String, roundNo: Int): String =
+    f"$root/snapshots/round=$roundNo%05d"
+
+  def writeSnapshot(spark: SparkSession, root: String, roundNo: Int,
+      scheduled: DataFrame, seen: DataFrame, frontier: DataFrame,
+      metrics: Map[String, Long]): Unit = {
+    val dir = snapshotDir(root, roundNo)
+    scheduled.write.mode(SaveMode.Overwrite).parquet(s"$dir/scheduled")
+    seen.write.mode(SaveMode.Overwrite).parquet(s"$dir/seen")
+    frontier.write.mode(SaveMode.Overwrite).parquet(s"$dir/frontier")
+    // per-partition lineage: rows per output partition of the scheduled set
+    val lineage = scheduled.withColumn("pid", spark_partition_id())
+      .groupBy("pid").count().collect()
+      .map(r => s"""{"partition":${r.getInt(0)},"rows":${r.getLong(1)}}""")
+      .mkString("[", ",", "]")
+    val m = metrics.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    val manifest = s"""{"round":$roundNo,$m,"lineage":$lineage}"""
+    Files.createDirectories(Paths.get(dir))
+    val tmp = Paths.get(s"$dir/manifest.json.tmp")
+    Files.writeString(tmp, manifest)
+    Files.move(tmp, Paths.get(s"$dir/manifest.json"), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    // commit point: LATEST names the newest complete snapshot
+    val latestTmp = Paths.get(s"$root/LATEST.tmp")
+    Files.createDirectories(Paths.get(root))
+    Files.writeString(latestTmp, roundNo.toString)
+    Files.move(latestTmp, Paths.get(s"$root/LATEST"), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def latestSnapshot(root: String): Option[Int] = {
+    val p = Paths.get(s"$root/LATEST")
+    if (Files.exists(p)) Some(Files.readString(p).trim.toInt) else None
+  }
+
+  def readSnapshot(spark: SparkSession, root: String, roundNo: Int)
+      : (DataFrame, DataFrame) = {
+    val dir = snapshotDir(root, roundNo)
+    (spark.read.parquet(s"$dir/seen"), spark.read.parquet(s"$dir/frontier"))
+  }
+
+  /**
+   * Multi-round crawl loop with checkpoint/resume. `discover` maps a
+   * scheduled batch to newly discovered frontier rows (url, host, priority,
+   * seq) — in production this is fetch + parse + link extraction; tests and
+   * benches pass a deterministic expansion. Resumes from the latest complete
+   * snapshot under `root` if present.
+   */
+  def crawl(spark: SparkSession, root: String, seed: DataFrame, rounds: Int,
+      budgetPerHost: Int, bloomBits: Long = 0L,
+      discover: DataFrame => Option[DataFrame] = _ => None): Seq[Map[String, Long]] = {
+    import spark.implicits._
+    val start = latestSnapshot(root)
+    var (seen, frontier) = start match {
+      case Some(r) => readSnapshot(spark, root, r)
+      case None => (Seq.empty[String].toDF("url"), seed)
+    }
+    val metricsOut = scala.collection.mutable.ListBuffer[Map[String, Long]]()
+    var r = start.map(_ + 1).getOrElse(0)
+    val endRound = rounds
+    while (r < endRound && !frontier.isEmpty) {
+      val (sched, newSeen, defer) = round(frontier, seen, budgetPerHost, bloomBits)
+      val schedCached = sched.cache()
+      val nSched = schedCached.count()
+      val discovered = discover(schedCached)
+      val nextFrontier = discovered match {
+        case Some(d) => defer.unionByName(d)
+        case None => defer
+      }
+      val newSeenCached = newSeen.cache()
+      val nextFrontierCached = nextFrontier.cache()
+      val metrics = Map(
+        "scheduled" -> nSched,
+        "seen_total" -> newSeenCached.count(),
+        "frontier_next" -> nextFrontierCached.count())
+      writeSnapshot(spark, root, r, schedCached, newSeenCached, nextFrontierCached, metrics)
+      metricsOut += (metrics + ("round" -> r.toLong))
+      // reload from the snapshot to truncate lineage (long-loop safety)
+      seen = spark.read.parquet(s"${snapshotDir(root, r)}/seen")
+      frontier = spark.read.parquet(s"${snapshotDir(root, r)}/frontier")
+      schedCached.unpersist(); newSeenCached.unpersist(); nextFrontierCached.unpersist()
+      r += 1
+    }
+    metricsOut.toList
+  }
+}

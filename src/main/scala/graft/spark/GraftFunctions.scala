@@ -21,6 +21,7 @@ object GraftFunctions {
 
   def register(spark: SparkSession): Unit = {
     val reg = classic(spark).sessionState.functionRegistry
+    if (reg.functionExists(FunctionIdentifier("css_select"))) return // idempotent
     def add(name: String)(builder: Seq[Expression] => Expression): Unit =
       reg.registerFunction(
         FunctionIdentifier(name),
@@ -47,6 +48,16 @@ object GraftFunctions {
     }
     add("dom_validate")(es => DomValidate(es.head))
     add("dom_base_uri")(es => DomBaseUri(es.head))
+    add("canonicalize_url")(es => graft.crawl.CanonicalizeUrl(es(0), es(1)))
+    add("url_host")(es => graft.crawl.UrlHostExpr(es.head))
+    // Spark's bloom-filter expressions exist in catalyst (used by runtime
+    // join filters) but are not exposed in the public registry — expose them
+    // for the URL-seen prefilter (north_rule scale path).
+    add("bloom_filter_agg")(es =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        es(0), es(1), es(2)).toAggregateExpression())
+    add("might_contain")(es =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1)))
   }
 
   // --- typed Column wrappers --------------------------------------------------
@@ -80,4 +91,7 @@ object GraftFunctions {
     call_function("dom_mutate", nodes, lit(css), lit(op), arg1, arg2)
   def dom_validate(nodes: Column): Column = call_function("dom_validate", nodes)
   def dom_base_uri(nodes: Column): Column = call_function("dom_base_uri", nodes)
+  def canonicalize_url(url: Column, base: Column): Column =
+    call_function("canonicalize_url", url, base)
+  def url_host(url: Column): Column = call_function("url_host", url)
 }
