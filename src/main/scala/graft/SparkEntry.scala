@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.spark.{GraftFunctions => F, SynthDocs}
 import graft.crawl.Frontier
+import graft.pipeline.{Similarity, TextPipeline}
 
 /**
  * Driver contract (see SURVEY.md §7). Every entry exercises one operator
@@ -204,7 +205,61 @@ object SparkEntry {
           col("seq").cast("long").as("seq"),
           col("slot").cast("long").as("slot"))
         .orderBy(col("priority").desc, col("seq").asc, col("url").asc)
-    })
+    }),
+
+    // --- training-data pipeline over documents/embeddings ---
+
+    "q_text_analysis" -> ((s, dir) =>
+      TextPipeline.textAnalysis(TextPipeline.documents(s, dir)).orderBy("doc_id")),
+
+    "q_dedup_exact" -> ((s, dir) =>
+      TextPipeline.exactDedup(
+        TextPipeline.withSyntheticDups(TextPipeline.documents(s, dir)))
+        .orderBy("canonical_id")),
+
+    "q_dedup_ngram_jaccard" -> ((s, dir) =>
+      TextPipeline.ngramJaccardPairs(
+        TextPipeline.withSyntheticDups(TextPipeline.documents(s, dir)), minJ = 0.6)
+        .orderBy("id_a", "id_b")),
+
+    "q_dedup_minhash" -> ((s, dir) =>
+      TextPipeline.minhashPairs(
+        TextPipeline.withSyntheticDups(TextPipeline.documents(s, dir)), minJ = 0.6)
+        .orderBy("id_a", "id_b")),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      TextPipeline.simhashPairs(
+        TextPipeline.withSyntheticDups(TextPipeline.documents(s, dir)), maxHam = 3)
+        .orderBy("id_a", "id_b")),
+
+    "q_embed_neardup" -> ((s, dir) =>
+      Similarity.embeddingNearDupPairs(Similarity.embeddings(s, dir), minCos = 0.9)
+        .orderBy("id_a", "id_b")),
+
+    "q_ann_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(Similarity.embeddings(s, dir), nQueries = 20, k = 5)
+        .orderBy("query_id", "rank")),
+
+    // LSH ANN: approximate by design — driver records rows-only (no oracleSql);
+    // recall vs brute force is asserted in PipelineSpec instead
+    "q_ann_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(Similarity.embeddings(s, dir), nQueries = 20, k = 5)
+        .orderBy("query_id", "rank")),
+
+    "q_multimodal_decode" -> ((s, dir) =>
+      graft.pipeline.Multimodal.withDecoded(
+        graft.pipeline.Multimodal.mediaTable(s, dir))
+        .withColumn("width", col("width").cast("long"))
+        .withColumn("height", col("height").cast("long"))
+        .orderBy("doc_id")),
+
+    "q_multimodal_resize" -> ((s, dir) =>
+      graft.pipeline.Multimodal.resizePlan(
+        graft.pipeline.Multimodal.mediaTable(s, dir), maxDim = 256)
+        .select(col("doc_id"), col("media_ref"),
+          col("out_width").cast("long").as("out_width"),
+          col("out_height").cast("long").as("out_height"))
+        .orderBy("doc_id"))
   )
 
   /** Deterministic synthetic frontier from lineitem: url repeats across
@@ -293,6 +348,7 @@ object SparkEntry {
            'Order ' || o_orderkey || ' [' || o_orderpriority || ']' AS title,
            'cust-' || o_custkey || '.example' AS source
            FROM orders ORDER BY doc_id""",
+    ) ++ pipelineOracles ++ Map(
       "q_url_canonicalize" ->
         """SELECT cast(p_partkey as varchar) AS doc_id,
            CASE p_partkey % 5
@@ -335,4 +391,184 @@ object SparkEntry {
         unseen AS (SELECT * FROM cand WHERE url NOT IN (SELECT url FROM seen))
         SELECT host, cast(count(*) as bigint) AS n_new
         FROM unseen GROUP BY host ORDER BY host"""
+
+  // --- DuckDB dialect mirrors of the TextPipeline/Similarity SQL snippets ---
+
+  private val P = TextPipeline.P
+  private def dTokens(t: String) = s"string_split_regex(trim(lower($t)), '\\s+')"
+  private def dWordHash(w: String) =
+    s"""list_reduce(list_prepend(0::BIGINT,
+          list_transform(string_split($w, ''), c -> ascii(c)::BIGINT)),
+        (a, c) -> (a * 31 + c) % $P)"""
+  private def dTokenHashes(t: String) =
+    s"list_transform(${dTokens(t)}, w -> ${dWordHash("w")})"
+  private val dShingles =
+    s"""CASE WHEN len(th) < 3 THEN th
+        ELSE [((th[i]*1009 + th[i+1])*1013 + th[i+2]) % $P
+              for i in range(1, len(th) - 1)] END"""
+  private val dSig =
+    s"""[list_min(list_transform(shingles, h -> (h*(2*i+3) + 5*i+7) % $P))
+         for i in range(0, 16)]"""
+  private val dSimhash =
+    s"""list_sum([CASE WHEN 2 * len(list_filter(th, h -> (h // (1::BIGINT << b)) % 2 = 1))
+                        >= len(th)
+                  THEN (1::BIGINT << b) ELSE 0::BIGINT END
+                  for b in range(0, 32)])"""
+  private def dFingerprint(t: String) =
+    s"""list_reduce(list_prepend(0::BIGINT,
+          list_transform(string_split(regexp_replace(trim($t), '\\s+', ' ', 'g'), ''),
+                         c -> ascii(c)::BIGINT)),
+        (a, c) -> (a * 31 + c) % $P)"""
+
+  private val dCorpus =
+    s"""corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
+          UNION ALL
+          SELECT doc_id + 2000000,
+                 array_to_string(list_slice(${dTokens("text")}, 1,
+                   greatest(len(${dTokens("text")}) - 2, 1)), ' ')
+          FROM documents WHERE doc_id % 10 = 0)"""
+
+  private val dShinglePrep =
+    s"""tok AS (SELECT doc_id, ${dTokenHashes("text")} AS th FROM corpus),
+        sh AS (SELECT doc_id, list_distinct($dShingles) AS shingles FROM tok)"""
+
+  private def dJaccardSelect(minJ: Double) =
+    s"""SELECT id_a, id_b FROM cand
+        WHERE len(list_intersect(sh_a, sh_b))
+              / len(list_distinct(list_concat(sh_a, sh_b))) >= $minJ
+        ORDER BY id_a, id_b"""
+
+  private def dDot(a: String, b: String) =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(list_zip($a, $b), t -> t[1]::DOUBLE * t[2]::DOUBLE)),
+        (acc, v) -> acc + v)"""
+  private def dCosine(a: String, b: String) =
+    s"${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))"
+  private def dLshBucket(vec: String, nBits: Int) =
+    (0 until nBits).map { j =>
+      s"""CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(list_zip($vec,
+              [(((${j} * 64 + d) * 2654435761) % 1000003) / 1000003.0 - 0.5
+               for d in range(0, 64)]),
+              t -> t[1]::DOUBLE * t[2]::DOUBLE)),
+            (acc, v) -> acc + v) >= 0.0
+          THEN ${1L << j}::BIGINT ELSE 0::BIGINT END"""
+    }.mkString(" + ")
+
+  private def pipelineOracles: Map[String, String] = {
+    val langScores = TextPipeline.langMarkers.map { case (lang, markers) =>
+      val arr = markers.map(m => s"'$m'").mkString("[", ", ", "]")
+      (lang, s"len(list_filter(${dTokens("text")}, w -> list_contains($arr, w)))")
+    }
+    val maxScore = langScores.map(_._2).mkString("greatest(", ", ", ")")
+    val langCase = langScores.map { case (l, s) => s"WHEN $s >= $maxScore THEN '$l'" }
+      .mkString("CASE ", " ", " END")
+    val stopArr = TextPipeline.langMarkers.flatMap(_._2).distinct
+      .map(m => s"'$m'").mkString("[", ", ", "]")
+    Map(
+      "q_text_analysis" ->
+        s"""SELECT doc_id,
+             cast(len(${dTokens("text")}) as bigint) AS n_tokens,
+             cast(length(regexp_replace(trim(text), '\\s+', ' ', 'g')) as bigint) AS n_chars_norm,
+             $langCase AS lang_guess,
+             cast(len(list_filter(${dTokens("text")}, w -> list_contains($stopArr, w))) as bigint)
+               AS n_stopwords,
+             cast(CASE WHEN len(${dTokens("text")}) = 0 THEN 0
+                  ELSE (len(list_filter(${dTokens("text")}, w -> length(w) >= 4)) * 100)
+                       // len(${dTokens("text")}) END as bigint) AS long_word_pct,
+             ${dFingerprint("text")} AS fingerprint
+           FROM documents ORDER BY doc_id""",
+      "q_dedup_exact" ->
+        s"""WITH $dCorpus,
+            g AS (SELECT regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm,
+                         min(doc_id) AS canonical_id, count(*) AS group_size
+                  FROM corpus GROUP BY 1)
+            SELECT canonical_id, cast(group_size as bigint) AS group_size
+            FROM g WHERE group_size > 1 ORDER BY canonical_id""",
+      "q_dedup_ngram_jaccard" ->
+        s"""WITH $dCorpus, $dShinglePrep,
+            inv AS (SELECT doc_id, shingles, unnest(shingles) AS s FROM sh),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                            a.shingles AS sh_a, b.shingles AS sh_b
+                     FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id)
+            ${dJaccardSelect(0.6)}""",
+      "q_dedup_minhash" ->
+        s"""WITH $dCorpus, $dShinglePrep,
+            sigs AS (SELECT doc_id, shingles, $dSig AS sig FROM sh),
+            bands AS (SELECT doc_id, shingles,
+                             unnest([concat_ws(':', b, sig[4*b+1], sig[4*b+2],
+                                               sig[4*b+3], sig[4*b+4])
+                                     for b in range(0, 4)]) AS band
+                      FROM sigs),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                            a.shingles AS sh_a, b.shingles AS sh_b
+                     FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+            ${dJaccardSelect(0.6)}""",
+      "q_dedup_simhash" ->
+        s"""WITH $dCorpus,
+            tok AS (SELECT doc_id, ${dTokenHashes("text")} AS th FROM corpus),
+            sims AS (SELECT doc_id, $dSimhash AS sim FROM tok),
+            bands AS (SELECT doc_id, sim,
+                             unnest([concat_ws(':', b, (sim // (1::BIGINT << (8*b))) % 256)
+                                     for b in range(0, 4)]) AS band
+                      FROM sims)
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sim, b.sim)) <= 3
+            ORDER BY id_a, id_b""",
+      "q_embed_neardup" ->
+        s"""WITH corpus AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000,
+                     list_concat([cast(embedding[1] * 1.001 as FLOAT4)], embedding[2:])
+              FROM embeddings WHERE vec_id % 10 = 0),
+            sig AS (SELECT vec_id, embedding,
+                           ${dLshBucket("embedding", 12)} AS bucket FROM corpus)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE ${dCosine("a.embedding", "b.embedding")} >= 0.9
+            ORDER BY id_a, id_b""",
+      "q_ann_topk" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 20),
+            c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+            scored AS (SELECT query_id, neighbor_id, ${dCosine("qv", "cv")} AS cos
+                       FROM q, c WHERE query_id <> neighbor_id),
+            ranked AS (SELECT query_id, neighbor_id,
+                              row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rank
+                       FROM scored)
+            SELECT query_id, neighbor_id, cast(rank as bigint) AS rank
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+      "q_multimodal_decode" ->
+        s"""SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN concat('img-', doc_id)
+               WHEN 1 THEN concat('aud-', doc_id) ELSE concat('vid-', doc_id) END AS media_ref,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+             cast(64 + (doc_id % 16) * 32 as bigint) AS width,
+             cast(64 + (doc_id % 9) * 32 as bigint) AS height,
+             cast(length(concat('payload-', doc_id, '-', repeat('x', cast(doc_id % 50 as int))))
+                  as bigint) AS n_bytes,
+             ${dFingerprint(s"concat('payload-', doc_id, '-', repeat('x', cast(doc_id % 50 as int)))")}
+               AS checksum
+           FROM documents ORDER BY doc_id""",
+      "q_multimodal_resize" ->
+        """SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN concat('img-', doc_id)
+               WHEN 1 THEN concat('aud-', doc_id) ELSE concat('vid-', doc_id) END AS media_ref,
+             cast(floor((64 + (doc_id % 16) * 32) *
+               least(1.0, 256 / cast(greatest(64 + (doc_id % 16) * 32,
+                                              64 + (doc_id % 9) * 32) as double))) as bigint)
+               AS out_width,
+             cast(floor((64 + (doc_id % 9) * 32) *
+               least(1.0, 256 / cast(greatest(64 + (doc_id % 16) * 32,
+                                              64 + (doc_id % 9) * 32) as double))) as bigint)
+               AS out_height
+           FROM documents ORDER BY doc_id"""
+    )
+  }
 }

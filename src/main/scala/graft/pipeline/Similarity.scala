@@ -1,0 +1,125 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over the `embeddings` table (`Array[Float]`, dim 64):
+ * brute-force cosine top-k as the exactness baseline, and an LSH-bucketed
+ * (random-hyperplane signature) variant as the 100 TB scale path. All Spark
+ * built-ins: `zip_with` for the elementwise product, `aggregate` for the
+ * fold — double precision, strictly sequential, so the DuckDB oracle can
+ * reproduce the exact ranking.
+ */
+object Similarity {
+
+  /** dot(a, b) folded sequentially in double (both engines identical). */
+  def dotSql(a: String, b: String) =
+    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), 0.0D, (acc, v) -> acc + v)"
+
+  def normSql(a: String) = s"sqrt(${dotSql(a, a)})"
+
+  def cosineSql(a: String, b: String) =
+    s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
+
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /**
+   * Brute-force cosine top-k: queries × corpus. At bench scale the corpus
+   * side is broadcast when small; at 100 TB one replaces this with the LSH
+   * variant below (this exact form remains the verification oracle on
+   * samples). Output: (query_id, neighbor_id, rank) — rank by
+   * (cosine DESC, neighbor_id ASC), floats excluded from the output so the
+   * comparison is drift-free.
+   */
+  def bruteForceTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", expr(cosineSql("qv", "cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
+  /**
+   * Random-hyperplane LSH signature: `nBits` deterministic pseudo-random
+   * hyperplanes; plane j component d = frac(sin-free LCG((j*64+d))) - 0.5.
+   * Bucket = signature; search within bucket (plus per-bucket top-k).
+   * This is the ANN scale path: the all-pairs join becomes a bucket-equi-join.
+   */
+  def lshSignatureSql(vec: String, nBits: Int, dim: Int): String = {
+    // plane(j,d) = ((j*dim+d)*2654435761 % 1000003) / 1000003.0 - 0.5
+    val bit = (j: Int) =>
+      s"""CASE WHEN aggregate(zip_with($vec,
+            transform(sequence(0, ${dim - 1}),
+              d -> (((${j} * $dim + d) * 2654435761L) % 1000003L) / 1000003.0D - 0.5D),
+            (x, p) -> cast(x as double) * p), 0.0D, (acc, v) -> acc + v) >= 0.0D
+          THEN ${1L << j}L ELSE 0L END"""
+    (0 until nBits).map(bit).mkString(" + ")
+  }
+
+  /**
+   * ANN via multi-table LSH: `nTables` independent `bitsPerTable`-bit
+   * signatures (the standard amplification — one table's bucket join misses
+   * most true neighbors on weakly-clustered data); candidates = union over
+   * tables, exact cosine re-rank. The all-pairs cross join becomes `nTables`
+   * bucket equi-joins — the 100 TB path. Recall vs brute force asserted in
+   * PipelineSpec.
+   */
+  def lshTopK(emb: DataFrame, nQueries: Int, k: Int,
+      nTables: Int = 4, bitsPerTable: Int = 4): DataFrame = {
+    val tables = (0 until nTables).map { t =>
+      val bitExprs = (0 until bitsPerTable).map { b =>
+        val j = t * bitsPerTable + b
+        s"""CASE WHEN aggregate(zip_with(embedding,
+              transform(sequence(0, 63),
+                d -> ((($j * 64 + d) * 2654435761L) % 1000003L) / 1000003.0D - 0.5D),
+              (x, p) -> cast(x as double) * p), 0.0D, (acc, v) -> acc + v) >= 0.0D
+            THEN ${1L << b}L ELSE 0L END"""
+      }.mkString(" + ")
+      concat_ws(":", lit(t), expr(bitExprs))
+    }
+    val sig = emb.withColumn("buckets", array(tables: _*))
+      .select(col("vec_id"), col("embedding"), explode(col("buckets")).as("bucket"))
+    val q = sig.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket"))
+    val c = sig.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("bucket"))
+    val cand = q.join(c, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qv", "neighbor_id", "cv").distinct()
+    val scored = cand.withColumn("cos", expr(cosineSql("qv", "cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Embedding near-dup pairs: constructed perturbed copies (id+1000000,
+    * first component nudged 0.1%) must pair with their source at cosine ≥
+    * minCos; random 64-dim pairs sit far below. Candidate generation via
+    * LSH bucket join, verification exact. */
+  def withSyntheticNearDups(emb: DataFrame): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val dups = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        expr("""transform(embedding, (x, i) ->
+                 CASE WHEN i = 0 THEN cast(x * 1.001D as float) ELSE x END)""")
+          .as("embedding"))
+    base.unionByName(dups)
+  }
+
+  def embeddingNearDupPairs(emb: DataFrame, minCos: Double): DataFrame = {
+    val corpus = withSyntheticNearDups(emb)
+    val sig = corpus.withColumn("bucket", expr(lshSignatureSql("embedding", 12, 64)))
+    sig.as("a").join(sig.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", expr(cosineSql("a.embedding", "b.embedding")))
+      .filter(col("cos") >= minCos)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+  }
+}

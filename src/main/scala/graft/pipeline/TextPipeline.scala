@@ -1,0 +1,202 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Large-scale training-data pipeline operators over the `documents` table:
+ * deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard), text analysis
+ * (language-ID, quality scoring, token counting, fingerprinting).
+ *
+ * Everything here is Spark SQL built-ins / higher-order functions — fully
+ * codegen-eligible, no UDFs, no custom expressions — and every hash is
+ * modular arithmetic (P = 1e9+7) so the DuckDB oracle can reproduce results
+ * bit-for-bit (xxhash64 would be Spark-only). At 100 TB these run as one
+ * narrow projection stage per doc + one shuffle per groupBy/join, with LSH
+ * banding keeping the join fan-out bounded.
+ */
+object TextPipeline {
+
+  val P = 1000000007L
+
+  // --- shared SQL snippets (mirrored verbatim in the DuckDB oracles) --------
+
+  /** normalized whitespace-split tokens of lowercased text */
+  def tokensSql(text: String) = s"split(trim(lower($text)), '\\\\s+')"
+
+  /** polynomial word hash: fold chars as (acc*31 + ascii(c)) % P */
+  def wordHashSql(w: String) =
+    s"aggregate(split($w, ''), 0L, (a, c) -> (a * 31 + ascii(c)) % ${P}L)"
+
+  /** per-token hash array */
+  def tokenHashesSql(text: String) =
+    s"transform(${tokensSql(text)}, w -> ${wordHashSql("w")})"
+
+  /** word 3-gram shingle hashes (falls back to token hashes for short docs) */
+  def shingleHashesSql(text: String): String = {
+    val th = tokenHashesSql(text)
+    s"""CASE WHEN size(${tokensSql(text)}) < 3 THEN $th
+        ELSE transform(sequence(1, size(${tokensSql(text)}) - 2),
+          i -> ((element_at($th, i) * 1009 + element_at($th, i + 1)) * 1013
+                + element_at($th, i + 2)) % ${P}L)
+        END"""
+  }
+
+  /** 16-hash MinHash signature over the shingle set:
+    * sig[i] = min over shingles of (h*(2i+3) + 5i+7) % P */
+  def minhashSigSql(shingles: String) =
+    s"""transform(sequence(0, 15),
+          i -> array_min(transform($shingles,
+            h -> (h * (2 * i + 3) + 5 * i + 7) % ${P}L)))"""
+
+  /** 32-bit SimHash over token hashes: bit b set iff the majority of token
+    * hashes have bit b set. */
+  def simhashSql(tokenHashes: String) =
+    s"""aggregate(sequence(0, 31), 0L,
+          (acc, b) -> acc + CASE WHEN
+            2 * size(filter($tokenHashes, h -> (h div shiftleft(1L, b)) % 2 = 1))
+              >= size($tokenHashes)
+            THEN shiftleft(1L, b) ELSE 0L END)"""
+
+  /** document fingerprint: char-fold of whitespace-normalized text (X-analog
+    * of the reference's streaming normalized fold, `ops.rs:66-82`). */
+  def fingerprintSql(text: String) =
+    s"""aggregate(split(regexp_replace(trim($text), '\\\\s+', ' '), ''),
+          0L, (a, c) -> (a * 31 + ascii(c)) % ${P}L)"""
+
+  /** stopword-scoring language-ID: argmax over per-language marker hits,
+    * ties broken by language code ascending. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "ist", "nicht", "das"),
+    "en" -> Seq("the", "and", "of", "is", "to", "a"),
+    "es" -> Seq("el", "los", "que", "y", "de", "la"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "une"),
+    "zh" -> Seq("de5", "shi4", "le5", "he2", "zai4", "wo3"))
+
+  def langScoreSql(text: String, markers: Seq[String]) = {
+    val arr = markers.map(m => s"'$m'").mkString("array(", ", ", ")")
+    s"size(filter(${tokensSql(text)}, w -> array_contains($arr, w)))"
+  }
+
+  // --- operators --------------------------------------------------------------
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Deterministic dup-augmented corpus: every 20th doc gets an exact copy
+    * (id+1000000), every 10th a near-dup with the last 2 words dropped
+    * (id+2000000). Pure SQL — the oracle constructs the identical corpus. */
+  def withSyntheticDups(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val exact = docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    val near = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        expr(s"array_join(slice(${tokensSql("text")}, 1, greatest(size(${tokensSql("text")}) - 2, 1)), ' ')")
+          .as("text"))
+    base.unionByName(exact).unionByName(near)
+  }
+
+  /** Exact dedup: normalize → group → canonical id + group size (groups > 1).
+    * At scale: one hash-shuffle on the normalized text (or xxhash64 of it). */
+  def exactDedup(corpus: DataFrame): DataFrame =
+    corpus
+      .withColumn("norm", expr("regexp_replace(trim(lower(text)), '\\\\s+', ' ')"))
+      .groupBy("norm")
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("group_size"))
+      .filter(col("group_size") > 1)
+      .select("canonical_id", "group_size")
+
+  /** MinHash-LSH near-dup pairs: 16-hash signature, 4 bands × 4 rows;
+    * candidates share ≥1 band; verified with true shingle Jaccard ≥ minJ.
+    * At scale the band-bucket join bounds fan-out to real near-dup clusters
+    * (no all-pairs); the verify step is per-candidate-pair only. */
+  def minhashPairs(corpus: DataFrame, minJ: Double): DataFrame = {
+    val sig = corpus
+      .withColumn("shingles", expr(s"array_distinct(${shingleHashesSql("text")})"))
+      .withColumn("sig", expr(minhashSigSql("shingles")))
+    val bands = sig.select(col("doc_id"), col("shingles"),
+        posexplode(expr(
+          """transform(sequence(0, 3), b ->
+               concat_ws(':', b, element_at(sig, 4*b+1), element_at(sig, 4*b+2),
+                         element_at(sig, 4*b+3), element_at(sig, 4*b+4)))""")))
+      .withColumnRenamed("col", "band")
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+      .distinct()
+    cand
+      .withColumn("jac",
+        expr("size(array_intersect(sh_a, sh_b)) / size(array_union(sh_a, sh_b))"))
+      .filter(col("jac") >= minJ)
+      .select("id_a", "id_b")
+  }
+
+  /** Exact n-gram Jaccard pairs (the dedup correctness oracle path):
+    * inverted index on shingles → pairs sharing ≥1 shingle → exact J ≥ minJ.
+    * Co-partitions on the shingle key; candidate set bounded by shared
+    * shingles, not all pairs. */
+  def ngramJaccardPairs(corpus: DataFrame, minJ: Double): DataFrame = {
+    val sh = corpus
+      .withColumn("shingles", expr(s"array_distinct(${shingleHashesSql("text")})"))
+    val inv = sh.select(col("doc_id"), col("shingles"), explode(col("shingles")).as("sh"))
+    val cand = inv.as("a").join(inv.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+      .distinct()
+    cand
+      .withColumn("jac",
+        expr("size(array_intersect(sh_a, sh_b)) / size(array_union(sh_a, sh_b))"))
+      .filter(col("jac") >= minJ)
+      .select("id_a", "id_b")
+  }
+
+  /** SimHash near-dup pairs: 32-bit signature, 4 byte-bands; candidates share
+    * a band; verified with hamming distance ≤ maxHam. */
+  def simhashPairs(corpus: DataFrame, maxHam: Int): DataFrame = {
+    val sig = corpus
+      .withColumn("th", expr(tokenHashesSql("text")))
+      .withColumn("sim", expr(simhashSql("th")))
+      .select("doc_id", "sim")
+    val bands = sig.select(col("doc_id"), col("sim"),
+        posexplode(expr(
+          "transform(sequence(0, 3), b -> concat_ws(':', b, (sim div shiftleft(1L, 8*b)) % 256))")))
+      .withColumnRenamed("col", "band")
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+      .distinct()
+      .filter(expr(s"bit_count(sim_a ^ sim_b) <= $maxHam"))
+      .select("id_a", "id_b")
+  }
+
+  /** Text analysis: tokens, language guess, quality components, fingerprint —
+    * one narrow projection, fully codegen. */
+  def textAnalysis(docs: DataFrame): DataFrame = {
+    val scores = langMarkers.map { case (lang, markers) =>
+      (lang, langScoreSql("text", markers))
+    }
+    // argmax with lang-code-ascending tie-break: first lang (asc) whose score
+    // equals the max — a CASE chain both engines express identically
+    val maxScore = scores.map(_._2).mkString("greatest(", ", ", ")")
+    val langGuess = scores.map { case (l, s) =>
+      s"WHEN $s >= $maxScore THEN '$l'"
+    }.mkString("CASE ", " ", " END")
+    val stop = langMarkers.flatMap(_._2).distinct.map(m => s"'$m'")
+      .mkString("array(", ", ", ")")
+    docs.select(
+      col("doc_id"),
+      expr(s"size(${tokensSql("text")})").cast("long").as("n_tokens"),
+      expr(s"length(regexp_replace(trim(text), '\\\\s+', ' '))").cast("long").as("n_chars_norm"),
+      expr(langGuess).as("lang_guess"),
+      expr(s"size(filter(${tokensSql("text")}, w -> array_contains($stop, w)))")
+        .cast("long").as("n_stopwords"),
+      expr(s"""CASE WHEN size(${tokensSql("text")}) = 0 THEN 0
+               ELSE (size(filter(${tokensSql("text")}, w -> length(w) >= 4)) * 100)
+                    div size(${tokensSql("text")}) END""").cast("long").as("long_word_pct"),
+      expr(fingerprintSql("text")).as("fingerprint"))
+  }
+}

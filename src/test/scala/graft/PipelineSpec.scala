@@ -1,0 +1,121 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Multimodal, Similarity, TextPipeline}
+
+/** Pipeline-operator properties that the DuckDB oracle can't express:
+  * ANN recall, streaming ingestion, multimodal batch shapes. */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("LSH ANN recall@5 vs brute force is usable (approximate by design)") {
+    val emb = Similarity.embeddings(spark, sf)
+    val exact = Similarity.bruteForceTopK(emb, nQueries = 20, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, nQueries = 20, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"LSH recall@5 too low: $recall")
+  }
+
+  test("embedding near-dup: every constructed dup pairs with its source") {
+    val pairs = Similarity.embeddingNearDupPairs(Similarity.embeddings(spark, sf), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 500L by 10L).map(i => (i, i + 1000000L)).toSet
+    assert(expected.subsetOf(pairs),
+      s"missing dup pairs: ${expected.diff(pairs).take(5)}")
+  }
+
+  test("exact dedup matches an independent in-memory computation") {
+    val groups = TextPipeline.exactDedup(
+      TextPipeline.withSyntheticDups(TextPipeline.documents(spark, sf)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // independent Scala model of the same corpus construction + grouping
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def norm(s: String) = s.trim.toLowerCase.replaceAll("\\s+", " ")
+    val corpus = docs.map { case (id, t) => (id, t) } ++
+      docs.filter(_._1 % 20 == 0).map { case (id, t) => (id + 1000000, t) } ++
+      docs.filter(_._1 % 10 == 0).map { case (id, t) =>
+        val toks = t.trim.toLowerCase.split("\\s+")
+        (id + 2000000, toks.take(math.max(toks.length - 2, 1)).mkString(" "))
+      }
+    val expected = corpus.groupBy { case (_, t) => norm(t) }
+      .values.filter(_.length > 1)
+      .map(g => (g.map(_._1).min, g.length.toLong)).toMap
+    assert(groups == expected)
+    // the constructed exact copies are all present
+    assert((0L until 500L by 20L).forall(groups.contains))
+  }
+
+  test("minhash-LSH finds the constructed near-dups (high-jaccard prefix copies)") {
+    val pairs = TextPipeline.minhashPairs(
+      TextPipeline.withSyntheticDups(TextPipeline.documents(spark, sf)), 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // near-dups: id+2000000 with 2 words dropped; most should pair with source
+    val expected = (0L until 500L by 10L).map(i => (i, i + 2000000L))
+    val found = expected.count(pairs.contains)
+    assert(found >= expected.size * 0.8,
+      s"minhash found only $found/${expected.size} constructed near-dups")
+  }
+
+  test("multimodal: payload bytes survive binary round-trip; decode stub is deterministic") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val row = media.filter(col("doc_id") === 7).collect().head
+    val payload = row.getAs[Array[Byte]]("payload")
+    assert(new String(payload, "UTF-8") == "payload-7-xxxxxxx")
+    val (n, c1) = Multimodal.decodeStub(payload)
+    val (_, c2) = Multimodal.decodeStub(payload)
+    assert(n == payload.length && c1 == c2)
+    // typed metadata plumbing (7 % 3 == 1 → audio/wav)
+    assert(row.getAs[org.apache.spark.sql.Row]("meta").getAs[String]("format") == "wav")
+    assert(row.getAs[String]("media_type") == "audio")
+  }
+
+  test("frame sampling emits bounded deterministic indices for video refs only") {
+    val frames = Multimodal.frameSamples(Multimodal.mediaTable(spark, sf))
+    val rows = frames.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("media_ref").startsWith("vid-"))
+      val idx = r.getAs[scala.collection.Seq[Int]]("frame_indices")
+      assert(idx.length <= 8 && idx == idx.sorted)
+    }
+  }
+
+  test("structured streaming: events stream through windowed aggregation") {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    // the directory contains all tables; read just events via pathGlobFilter
+    val events = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sf)
+      .withColumn("ts", col("ts").cast("timestamp")) // NTZ → event-time
+    val agg = events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("ev_windowed")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.sql("SELECT * FROM ev_windowed")
+    val batch = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+    assert(out.count() == batch.count())
+    assert(out.agg(sum("n")).collect().head.getLong(0) ==
+      spark.read.parquet(s"$sf/events.parquet").count())
+  }
+}
