@@ -41,10 +41,13 @@ object Frontier {
 
   val SALT_BUCKETS = 16
 
-  /** Candidate dedup (step 1). Input: url, host, priority, seq. */
+  /** Candidate dedup (step 1). Input: url, host, priority, seq.
+    * Groups on `url` alone (host is a pure function of the url) so the
+    * output is HashPartitioned(url) — the downstream seen anti-join on url
+    * reuses this exchange instead of shuffling the big side again. */
   def dedupCandidates(frontier: DataFrame): DataFrame =
-    frontier.groupBy("url", "host")
-      .agg(max("priority").as("priority"), min("seq").as("seq"))
+    frontier.groupBy("url")
+      .agg(max("host").as("host"), max("priority").as("priority"), min("seq").as("seq"))
 
   /**
    * URL-seen filter (step 2). `seen` has column `url`.

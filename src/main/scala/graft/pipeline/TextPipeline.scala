@@ -73,9 +73,10 @@ object TextPipeline {
     "fr" -> Seq("le", "la", "et", "les", "des", "une"),
     "zh" -> Seq("de5", "shi4", "le5", "he2", "zai4", "wo3"))
 
-  def langScoreSql(text: String, markers: Seq[String]) = {
+  /** `toks` is a token-array SQL expression (pass a materialized column). */
+  def langScoreSql(toks: String, markers: Seq[String]) = {
     val arr = markers.map(m => s"'$m'").mkString("array(", ", ", ")")
-    s"size(filter(${tokensSql(text)}, w -> array_contains($arr, w)))"
+    s"size(filter($toks, w -> array_contains($arr, w)))"
   }
 
   // --- operators --------------------------------------------------------------
@@ -107,13 +108,28 @@ object TextPipeline {
       .filter(col("group_size") > 1)
       .select("canonical_id", "group_size")
 
+  /** Materialize tokens → token hashes → distinct shingles as separate
+    * projection columns. CRITICAL for performance: inlining the token-hash
+    * subtree inside the shingle lambda would re-evaluate it per array
+    * element (HOF lambdas don't share subexpressions) — with columns each
+    * stage computes once per row. */
+  def withShingles(corpus: DataFrame): DataFrame =
+    corpus
+      .withColumn("toks", expr(tokensSql("text")))
+      .withColumn("th", expr(s"transform(toks, w -> ${wordHashSql("w")})"))
+      .withColumn("shingles", expr(
+        s"""array_distinct(CASE WHEN size(toks) < 3 THEN th
+            ELSE transform(sequence(1, size(toks) - 2),
+              i -> ((element_at(th, i) * 1009 + element_at(th, i + 1)) * 1013
+                    + element_at(th, i + 2)) % ${P}L) END)"""))
+      .drop("toks")
+
   /** MinHash-LSH near-dup pairs: 16-hash signature, 4 bands × 4 rows;
     * candidates share ≥1 band; verified with true shingle Jaccard ≥ minJ.
     * At scale the band-bucket join bounds fan-out to real near-dup clusters
     * (no all-pairs); the verify step is per-candidate-pair only. */
   def minhashPairs(corpus: DataFrame, minJ: Double): DataFrame = {
-    val sig = corpus
-      .withColumn("shingles", expr(s"array_distinct(${shingleHashesSql("text")})"))
+    val sig = withShingles(corpus)
       .withColumn("sig", expr(minhashSigSql("shingles")))
     val bands = sig.select(col("doc_id"), col("shingles"),
         posexplode(expr(
@@ -138,8 +154,7 @@ object TextPipeline {
     * Co-partitions on the shingle key; candidate set bounded by shared
     * shingles, not all pairs. */
   def ngramJaccardPairs(corpus: DataFrame, minJ: Double): DataFrame = {
-    val sh = corpus
-      .withColumn("shingles", expr(s"array_distinct(${shingleHashesSql("text")})"))
+    val sh = withShingles(corpus)
     val inv = sh.select(col("doc_id"), col("shingles"), explode(col("shingles")).as("sh"))
     val cand = inv.as("a").join(inv.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -157,7 +172,8 @@ object TextPipeline {
     * a band; verified with hamming distance ≤ maxHam. */
   def simhashPairs(corpus: DataFrame, maxHam: Int): DataFrame = {
     val sig = corpus
-      .withColumn("th", expr(tokenHashesSql("text")))
+      .withColumn("toks", expr(tokensSql("text")))
+      .withColumn("th", expr(s"transform(toks, w -> ${wordHashSql("w")})"))
       .withColumn("sim", expr(simhashSql("th")))
       .select("doc_id", "sim")
     val bands = sig.select(col("doc_id"), col("sim"),
@@ -177,7 +193,7 @@ object TextPipeline {
     * one narrow projection, fully codegen. */
   def textAnalysis(docs: DataFrame): DataFrame = {
     val scores = langMarkers.map { case (lang, markers) =>
-      (lang, langScoreSql("text", markers))
+      (lang, langScoreSql("toks", markers))
     }
     // argmax with lang-code-ascending tie-break: first lang (asc) whose score
     // equals the max — a CASE chain both engines express identically
@@ -187,16 +203,18 @@ object TextPipeline {
     }.mkString("CASE ", " ", " END")
     val stop = langMarkers.flatMap(_._2).distinct.map(m => s"'$m'")
       .mkString("array(", ", ", ")")
-    docs.select(
-      col("doc_id"),
-      expr(s"size(${tokensSql("text")})").cast("long").as("n_tokens"),
-      expr(s"length(regexp_replace(trim(text), '\\\\s+', ' '))").cast("long").as("n_chars_norm"),
-      expr(langGuess).as("lang_guess"),
-      expr(s"size(filter(${tokensSql("text")}, w -> array_contains($stop, w)))")
-        .cast("long").as("n_stopwords"),
-      expr(s"""CASE WHEN size(${tokensSql("text")}) = 0 THEN 0
-               ELSE (size(filter(${tokensSql("text")}, w -> length(w) >= 4)) * 100)
-                    div size(${tokensSql("text")}) END""").cast("long").as("long_word_pct"),
-      expr(fingerprintSql("text")).as("fingerprint"))
+    docs
+      .withColumn("toks", expr(tokensSql("text"))) // materialize once per row
+      .select(
+        col("doc_id"),
+        expr("size(toks)").cast("long").as("n_tokens"),
+        expr(s"length(regexp_replace(trim(text), '\\\\s+', ' '))").cast("long").as("n_chars_norm"),
+        expr(langGuess).as("lang_guess"),
+        expr(s"size(filter(toks, w -> array_contains($stop, w)))")
+          .cast("long").as("n_stopwords"),
+        expr("""CASE WHEN size(toks) = 0 THEN 0
+                ELSE (size(filter(toks, w -> length(w) >= 4)) * 100) div size(toks) END""")
+          .cast("long").as("long_word_pct"),
+        expr(fingerprintSql("text")).as("fingerprint"))
   }
 }

@@ -39,7 +39,11 @@ object SynthDocs {
   /** part-catalog docs: (doc_id, html, nodes). */
   def partDocs(spark: SparkSession, sfDir: String): DataFrame = {
     GraftFunctions.register(spark)
+    // the base table is a single small parquet file = one scan partition;
+    // without a repartition the parse stage (the expensive narrow work)
+    // would run on ONE task — spread it across the cluster first
     val part = spark.read.parquet(s"$sfDir/part.parquet")
+      .repartition(spark.sparkContext.defaultParallelism * 2)
     part
       .select(
         col("p_partkey").cast("string").as("doc_id"),
@@ -68,7 +72,9 @@ object SynthDocs {
 
   def hnDocs(spark: SparkSession, sfDir: String): DataFrame = {
     GraftFunctions.register(spark)
+    // see partDocs: parallelize the parse stage past the single-file scan
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .repartition(spark.sparkContext.defaultParallelism * 2)
     orders
       .select(
         col("o_orderkey").cast("string").as("doc_id"),
