@@ -94,7 +94,7 @@ object Bench {
 
     val headline = Seq(
       "q_links", "q_dom_select_tag", "q_dom_text", "q_dom_mutate_class",
-      "q_dom_formatted", "q_crawl_schedule", "q_dedup_minhash",
+      "q_dom_formatted_text", "q_crawl_schedule", "q_dedup_minhash",
       "q_text_analysis", "q_ann_topk")
 
     // --- scaling evidence: the same stored-input round at N vs 4N threads ---

@@ -160,8 +160,52 @@ object SparkEntry {
           size(F.css_select(col("nodes2"), "li.extra")).cast("long").as("n_extra"))
         .orderBy("doc_id")),
 
+    // S6/X8: formatted text with block-element line-break rules
+    "q_dom_formatted_text" -> ((s, dir) =>
+      parts(s, dir)
+        .select(col("doc_id"),
+          regexp_replace(
+            F.dom_formatted_text(col("nodes"), F.css_select(col("nodes"), "#main")),
+            "[\\n ]+$", "").as("ftext"))
+        .orderBy("doc_id")),
+
     // flagship link extraction (P10 :has + Q3 chains + X1/X6)
     "q_links" -> ((s, dir) => qLinks(s, dir)),
+
+    // windowed aggregation over the events table (same plan batch/streaming)
+    "q_events_windowed" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        // decimal sum: exact and order-independent (double sums drift with
+        // partial-aggregation order, breaking cross-engine equality)
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy("day", "event_type")),
+
+    // sessionization: 30-minute-gap sessions per user (lag + running sum)
+    "q_events_sessions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        // exact microsecond arithmetic: second-level truncation rounds
+        // differently across engines on fractional timestamps
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum("new_sess").over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          ((unix_micros(max("ts")) - unix_micros(min("ts"))) / lit(1000000L))
+            .cast("long").as("duration_sec"))
+        .orderBy("user_id", "session_id")
+    }),
 
     // crawl layer: URL canonicalizer over deterministic messy variants
     "q_url_canonicalize" -> ((s, dir) => {
@@ -342,6 +386,35 @@ object SparkEntry {
         """SELECT cast(p_partkey as varchar) AS doc_id,
            true AS is_valid, cast(1 as bigint) AS n_extra
            FROM part ORDER BY doc_id""",
+      "q_dom_formatted_text" ->
+        """SELECT cast(p_partkey as varchar) AS doc_id,
+           p_type || chr(10) ||
+           array_to_string(string_split(p_name, ' '), chr(10)) ||
+           chr(10) || chr(10) || chr(10) || 'size ' || p_size AS ftext
+           FROM part ORDER BY doc_id""",
+      "q_events_windowed" ->
+        """SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d') AS day,
+           event_type, cast(count(*) as bigint) AS n,
+           cast(sum(cast(value as DECIMAL(18,6))) as double) AS total
+           FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+      "q_events_sessions" ->
+        """WITH e AS (
+             SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           s AS (
+             SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             FROM e)
+           SELECT user_id, cast(session_id as bigint) AS session_id,
+                  cast(count(*) as bigint) AS n_events,
+                  (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_sec
+           FROM s GROUP BY user_id, session_id
+           ORDER BY user_id, session_id""",
       "q_links" ->
         """SELECT cast(o_orderkey as varchar) AS doc_id,
            'item?id=' || o_orderkey AS href,

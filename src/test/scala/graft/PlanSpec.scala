@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.crawl.Frontier
+import graft.pipeline.TextPipeline
+
+/**
+ * Physical-plan quality gates: these assert the *shape* of the plans Catalyst
+ * produces — filters reach the parquet scan, projections prune columns,
+ * expression stages stay inside WholeStageCodegen, and the dedup → seen
+ * anti-join reuses the url-keyed exchange instead of reshuffling. A plan
+ * regression here is a 100 TB regression even when results stay correct.
+ */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("predicate pushdown: documents filter reaches the parquet scan") {
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("lang") === "en").select("doc_id", "n_chars")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"), p)
+  }
+
+  test("column pruning: projection reaches ReadSchema") {
+    val df = spark.read.parquet(s"$sf/documents.parquet").select("doc_id")
+    val p = plan(df)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
+  }
+
+  test("text analysis stays in one codegen'd projection stage (no shuffle)") {
+    val df = TextPipeline.textAnalysis(
+      spark.read.parquet(s"$sf/documents.parquet"))
+    val p = plan(df)
+    // `*(n)` marks whole-stage-codegen'd operators; the HOF projection
+    // itself evaluates interpreted (Spark doesn't codegen lambda functions)
+    // but the scan + tokenize stage must stay inside codegen
+    assert(p.contains("*("), p)
+    assert(!p.contains("Exchange"), s"unexpected shuffle in a narrow pipeline:\n$p")
+  }
+
+  test("dedup + seen anti-join: big side shuffles ONCE on url (exchange reuse)") {
+    import spark.implicits._
+    val frontier = (0 until 1000)
+      .map(i => (s"https://h${i % 7}.ex/p/${i % 300}", s"h${i % 7}.ex", i % 5, i.toLong))
+      .toDF("url", "host", "priority", "seq")
+    val seen = (0 until 100 by 3).map(i => s"https://h${i % 7}.ex/p/$i").toDF("url")
+    val unseen = Frontier.filterUnseen(Frontier.dedupCandidates(frontier), seen)
+    val p = plan(unseen)
+    // the candidates (big) side must be hash-partitioned by url exactly once
+    val bigSideShuffles = "hashpartitioning\\(url".r.findAllIn(p).length
+    assert(bigSideShuffles <= 2, s"url shuffled >2 times (big side + seen side):\n$p")
+  }
+
+  test("flagship q_links plan: per-document narrow stage, single final sort") {
+    val df = SparkEntry.queries("q_links")(spark, sf)
+    val p = plan(df)
+    // parse+select+extract is one narrow projection chain: the only
+    // exchanges allowed are the explicit spread-repartition and the
+    // final orderBy's range partitioning
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 3, s"too many shuffles in flagship plan:\n$p")
+    assert(p.contains("rangepartitioning"), p)
+  }
+
+  test("politeness window is two-phase (salted partial then exact per-host)") {
+    import spark.implicits._
+    val unseen = (0 until 1000)
+      .map(i => (s"https://h${i % 3}.ex/p/$i", s"h${i % 3}.ex", i % 5, i.toLong))
+      .toDF("url", "host", "priority", "seq")
+    val p = plan(Frontier.schedule(unseen, 10))
+    val windows = "Window".r.findAllIn(p).length
+    assert(windows >= 2, s"expected the two-phase top-B windows:\n$p")
+    assert(p.contains("host") && p.contains("salt"), p)
+  }
+}

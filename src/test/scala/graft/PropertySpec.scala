@@ -1,0 +1,134 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.api.Doc
+import graft.model.Arena
+import graft.ops.TreeOps
+
+/**
+ * Property tests: random mutation sequences over random small documents must
+ * keep the arena structurally valid (C4 oracle, `validation.rs:39-206`) and
+ * preserve the id-stability / span-sequence invariants. The reference has no
+ * property-based tests — this is the upgrade SURVEY.md §5 commits to.
+ *
+ * Deterministic seeded sampling (the scalatestplus bridge isn't in the
+ * offline dependency cache): same cases every run.
+ */
+class PropertySpec extends AnyFunSuite {
+
+  /** deterministic generator sampling */
+  def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i * 977L)))
+
+  def forAll[A, B](ga: Gen[A], gb: Gen[B], n: Int = 60)(body: (A, B) => Unit): Unit =
+    samples(Gen.zip(ga, gb), n).foreach { case (a, b) => body(a, b) }
+
+  def forAll[A](ga: Gen[A], n: Int)(body: A => Unit): Unit =
+    samples(ga, n).foreach(body)
+
+  val tag: Gen[String] = Gen.oneOf("div", "p", "span", "b", "ul", "li", "a")
+  val word: Gen[String] = Gen.oneOf("alpha", "beta", "gamma", "delta", "x")
+
+  /** random small HTML document */
+  val genHtml: Gen[String] = {
+    def node(depth: Int): Gen[String] =
+      if (depth >= 3) word
+      else Gen.frequency(
+        3 -> word,
+        5 -> (for {
+          t <- tag
+          n <- Gen.choose(0, 3)
+          kids <- Gen.listOfN(n, node(depth + 1))
+          id <- Gen.choose(0, 999)
+        } yield s"""<$t id="n$id">${kids.mkString}</$t>"""))
+    for {
+      n <- Gen.choose(1, 6)
+      kids <- Gen.listOfN(n, node(0))
+    } yield s"<html><body>${kids.mkString}</body></html>"
+  }
+
+  sealed trait Op
+  case class OpAppendHtml(html: String) extends Op
+  case class OpRemove(k: Int) extends Op
+  case class OpSetText(k: Int, t: String) extends Op
+  case class OpWrap(k: Int) extends Op
+  case class OpUnwrap(k: Int) extends Op
+  case class OpAddClass(k: Int, c: String) extends Op
+  case class OpReplaceHtml(k: Int) extends Op
+  case class OpNormalize() extends Op
+
+  val genOp: Gen[Op] = Gen.oneOf(
+    word.map(w => OpAppendHtml(s"<p>$w</p>")),
+    Gen.choose(0, 100).map(OpRemove),
+    Gen.zip(Gen.choose(0, 100), word).map { case (k, t) => OpSetText(k, t) },
+    Gen.choose(0, 100).map(OpWrap),
+    Gen.choose(0, 100).map(OpUnwrap),
+    Gen.zip(Gen.choose(0, 100), word).map { case (k, c) => OpAddClass(k, c) },
+    Gen.choose(0, 100).map(OpReplaceHtml),
+    Gen.const(OpNormalize()))
+
+  /** pick the k-th element node that is still attached under the root */
+  private def pickAttached(a: Arena, k: Int): Option[Int] = {
+    val attached = a.preorder(0).filter(i => i != 0 && a(i).isElement).toVector
+    if (attached.isEmpty) None else Some(attached(k % attached.length))
+  }
+
+  private def applyOp(a: Arena, op: Op): Unit = op match {
+    case OpAppendHtml(h) => pickAttached(a, 0).foreach(t => TreeOps.appendHtml(a, t, h))
+    case OpRemove(k) => pickAttached(a, k).foreach(t => TreeOps.removeFromParent(a, t))
+    case OpSetText(k, t) => pickAttached(a, k).foreach(n => TreeOps.setText(a, n, t))
+    case OpWrap(k) => pickAttached(a, k).foreach(t => TreeOps.wrapHtml(a, t, "<div class=\"w\"></div>"))
+    case OpUnwrap(k) => pickAttached(a, k).foreach(t => TreeOps.unwrapNode(a, t))
+    case OpAddClass(k, c) => pickAttached(a, k).foreach(t => TreeOps.addClass(a, t, c))
+    case OpReplaceHtml(k) =>
+      pickAttached(a, k).foreach(t => TreeOps.replaceWithHtml(a, t, "<span>r</span>"))
+    case OpNormalize() => TreeOps.normalize(a, 0)
+  }
+
+  test("random mutation sequences keep the tree structurally valid (C4)") {
+    forAll(genHtml, Gen.listOfN(12, genOp)) { (html, ops) =>
+      val doc = Doc.parse(html)
+      assert(doc.validate.isEmpty, s"fresh parse invalid for: $html")
+      val sizeBefore = doc.arena.size
+      ops.foreach(op => applyOp(doc.arena, op))
+      val v = doc.validate
+      assert(v.isEmpty, s"invalid after $ops on $html: $v")
+      // id stability: arena only grows (ops.rs:164-168, 350-383)
+      assert(doc.arena.size >= sizeBefore)
+    }
+  }
+
+  test("serialization round-trip: parse(html(d)) preserves the span sequence") {
+    forAll(genHtml, 60) { html =>
+      val doc = Doc.parse(html)
+      val doc2 = Doc.parse(doc.html)
+      // span-sequence equality on (kind, text, order) — input_hint invariant
+      def spans(d: Doc) = d.arena.preorder(0).map { i =>
+        val n = d.arena(i)
+        (n.kind, Option(n.name).getOrElse(""), Option(n.text).getOrElse(""))
+      }.toVector
+      assert(spans(doc2) == spans(doc))
+    }
+  }
+
+  test("selector engine matches brute-force single-node matcher on random docs") {
+    val genSel = Gen.oneOf("div", "p", "span", "div p", "p > span", "li + li",
+      "div.w", "[id^=n1]", "p:first-child", "span:last-child",
+      "div:has(p)", ":not(p)", "ul li", "b ~ span")
+    forAll(genHtml, genSel) { (html, sel) =>
+      val doc = Doc.parse(html)
+      val fast = doc.select(sel).ids.toSet
+      // brute force: test every element with the ascending matcher
+      val list = graft.css.SelectorAst.parse(sel)
+      val brute = (1 until doc.arena.size)
+        .filter(i => doc.arena(i).isElement)
+        .filter(i => doc.arena.preorder(0).contains(i)) // attached only
+        .filter(i => graft.css.Engine.matchesComplex(doc.acc, i, list.head) ||
+          list.tail.exists(cx => graft.css.Engine.matchesComplex(doc.acc, i, cx)))
+        .toSet
+      assert(fast == brute, s"selector '$sel' on $html")
+    }
+  }
+}
