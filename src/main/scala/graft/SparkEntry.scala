@@ -251,6 +251,19 @@ object SparkEntry {
         .orderBy(col("priority").desc, col("seq").asc, col("url").asc)
     }),
 
+    // crawl layer: robots gate + token-bucket ready times (north_star)
+    "q_crawl_robots" -> ((s, dir) => {
+      val (frontier, seen) = synthFrontier(s, dir)
+      val (sched, _, _) = Frontier.round(frontier, seen, budgetPerHost = 3,
+        robots = Some(synthRobots(s)))
+      sched.select(col("url"), col("host"),
+          col("priority").cast("long").as("priority"),
+          col("seq").cast("long").as("seq"),
+          col("slot").cast("long").as("slot"),
+          col("ready_s").cast("long").as("ready_s"))
+        .orderBy(col("priority").desc, col("seq").asc, col("url").asc)
+    }),
+
     // --- training-data pipeline over documents/embeddings ---
 
     "q_text_analysis" -> ((s, dir) =>
@@ -321,6 +334,15 @@ object SparkEntry {
     val seen = f.filter(col("l_quantity") < 5).select("url").distinct()
     (f.drop("l_quantity"), seen)
   }
+
+  /** Deterministic robots cache for the 50 synthetic hosts: every 4th host
+    * disallows the `/part/1` path prefix; crawl_delay = host % 5 + 1. */
+  private def synthRobots(s: SparkSession): DataFrame =
+    s.range(0, 50).select(
+      concat(lit("host-"), col("id"), lit(".example")).as("host"),
+      when(col("id") % 4 === 0, lit("/part/1")).otherwise(lit(null: String))
+        .as("disallow_prefix"),
+      (col("id") % 5 + 1).cast("int").as("crawl_delay_s"))
 
   def oracleSql: Map[String, String] = {
     val W = "len(string_split(p_name, ' '))" // word count
@@ -433,6 +455,28 @@ object SparkEntry {
            END AS canon
            FROM part ORDER BY doc_id""",
       "q_crawl_dedup" -> crawlDedupSql,
+      "q_crawl_robots" ->
+        s"""WITH $frontierCte,
+            robots AS (SELECT 'host-' || i || '.example' AS host,
+                              CASE WHEN i % 4 = 0 THEN '/part/1' END AS disallow_prefix,
+                              i % 5 + 1 AS crawl_delay_s
+                       FROM range(0, 50) t(i)),
+            cand AS (SELECT url, host, max(priority) AS priority, min(seq) AS seq
+                     FROM f GROUP BY url, host),
+            unseen AS (SELECT * FROM cand WHERE url NOT IN (SELECT url FROM seen)),
+            allowed AS (SELECT u.* FROM unseen u LEFT JOIN robots r USING (host)
+                        WHERE r.disallow_prefix IS NULL
+                           OR NOT starts_with(substring(u.url, length(u.host) + 9),
+                                              r.disallow_prefix)),
+            ranked AS (SELECT *, row_number() OVER
+                         (PARTITION BY host ORDER BY priority DESC, seq ASC, url ASC) - 1 AS slot
+                       FROM allowed)
+            SELECT k.url, k.host, cast(k.priority as bigint) AS priority,
+                   cast(k.seq as bigint) AS seq, cast(k.slot as bigint) AS slot,
+                   cast(k.slot * coalesce(r.crawl_delay_s, 1) as bigint) AS ready_s
+            FROM ranked k LEFT JOIN robots r USING (host)
+            WHERE k.slot < 3
+            ORDER BY priority DESC, seq ASC, url ASC""",
       "q_crawl_dedup_bloom" -> crawlDedupSql,
       "q_crawl_schedule" ->
         s"""WITH $frontierCte,

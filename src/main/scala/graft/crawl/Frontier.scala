@@ -105,13 +105,59 @@ object Frontier {
   def deferred(unseen: DataFrame, scheduled: DataFrame): DataFrame =
     unseen.join(scheduled.select("url"), Seq("url"), "left_anti")
 
-  /** One full crawl round. Returns (scheduled, newSeen, deferredFrontier). */
+  /**
+   * robots.txt gate: drop candidates whose URL path starts with the host's
+   * disallow prefix. `robots(host, disallow_prefix, crawl_delay_s)` is the
+   * cache table (one row per host; null prefix = allow all). Broadcast —
+   * the robots cache is host-cardinality, tiny next to the frontier.
+   */
+  def applyRobots(candidates: DataFrame, robots: DataFrame): DataFrame =
+    candidates
+      .join(broadcast(robots), Seq("host"), "left")
+      .filter(col("disallow_prefix").isNull ||
+        !expr("substring(url, length(host) + 9)").startsWith(col("disallow_prefix")))
+      // path = url minus "https://" (8 chars) minus host
+
+  /**
+   * Token-bucket fetch scheduling: per-host slot × crawl_delay_s gives each
+   * URL its earliest fetch offset (seconds from round start). Hosts without
+   * a robots row get `defaultDelay`.
+   */
+  def withReadyTime(scheduled: DataFrame, robots: DataFrame,
+      defaultDelay: Int = 1): DataFrame =
+    scheduled
+      .join(broadcast(robots.select("host", "crawl_delay_s")), Seq("host"), "left")
+      .withColumn("ready_s",
+        (col("slot") * coalesce(col("crawl_delay_s"), lit(defaultDelay))).cast("long"))
+      .drop("crawl_delay_s")
+
+  /** One full crawl round. Returns (scheduled, newSeen, deferredFrontier).
+    * With a robots cache table, disallowed urls are dropped (and still
+    * marked seen so they never re-enter) and scheduled urls get a
+    * token-bucket `ready_s` offset. */
   def round(frontier: DataFrame, seen: DataFrame, budgetPerHost: Int,
-      bloomBits: Long = 0L): (DataFrame, DataFrame, DataFrame) = {
+      bloomBits: Long = 0L, robots: Option[DataFrame] = None)
+      : (DataFrame, DataFrame, DataFrame) = {
     val candidates = dedupCandidates(frontier)
-    val unseen = filterUnseen(candidates, seen, bloomBits)
-    val sched = schedule(unseen, budgetPerHost)
-    val newSeen = seen.select("url").unionByName(sched.select("url")).distinct()
+    val unseenAll = filterUnseen(candidates, seen, bloomBits)
+    val unseen = robots match {
+      case Some(r) => applyRobots(unseenAll, r).select(unseenAll.columns.map(col): _*)
+      case None => unseenAll
+    }
+    val sched0 = schedule(unseen, budgetPerHost)
+    val sched = robots match {
+      case Some(r) => withReadyTime(sched0, r)
+      case None => sched0
+    }
+    // seen' = seen ∪ scheduled; robots-disallowed urls also become seen
+    // (never revisited, like real crawlers) — deferred urls do NOT
+    val newSeen = (robots match {
+      case Some(_) =>
+        val disallowed = unseenAll.join(unseen.select("url"), Seq("url"), "left_anti")
+        seen.select("url").unionByName(sched.select("url"))
+          .unionByName(disallowed.select("url"))
+      case None => seen.select("url").unionByName(sched.select("url"))
+    }).distinct()
     val defer = deferred(unseen, sched)
     (sched, newSeen, defer)
   }

@@ -12,20 +12,36 @@ import scala.collection.mutable
 object OracleCrawler {
 
   case class Url(url: String, host: String, priority: Int, seq: Long)
-  case class RoundResult(scheduled: Vector[Url], slots: Map[String, Int])
+  case class Robots(disallowPrefix: Option[String], crawlDelayS: Int)
+  case class RoundResult(scheduled: Vector[Url], slots: Map[String, Int],
+      readyS: Map[String, Long] = Map.empty)
 
   private val ord: Ordering[Url] =
     Ordering.by((u: Url) => (-u.priority, u.seq, u.url))
 
   /** One round over the in-memory frontier; mutates `seen`. */
-  def round(frontier: Seq[Url], seen: mutable.Set[String], budgetPerHost: Int)
+  def round(frontier: Seq[Url], seen: mutable.Set[String], budgetPerHost: Int,
+      robots: Map[String, Robots] = Map.empty)
       : (RoundResult, Vector[Url]) = {
     // 1. candidate dedup: by url, keep (max priority, min seq)
     val dedup = frontier.groupBy(_.url).map { case (url, us) =>
       Url(url, us.head.host, us.map(_.priority).max, us.map(_.seq).min)
     }.toVector
     // 2. seen filter
-    val unseen = dedup.filterNot(u => seen.contains(u.url))
+    val unseenAll = dedup.filterNot(u => seen.contains(u.url))
+    // 2b. robots gate: path-prefix disallow; disallowed become seen forever
+    val unseen =
+      if (robots.isEmpty) unseenAll
+      else unseenAll.filter { u =>
+        robots.get(u.host).flatMap(_.disallowPrefix) match {
+          case Some(p) =>
+            val path = u.url.substring("https://".length + u.host.length)
+            val allowed = !path.startsWith(p)
+            if (!allowed) seen += u.url
+            allowed
+          case None => true
+        }
+      }
     // 3. politeness: top-B per host by (priority desc, seq, url)
     val byHost = unseen.groupBy(_.host)
     val scheduledSet = byHost.flatMap { case (_, us) =>
@@ -39,11 +55,15 @@ object OracleCrawler {
       slotCounters(u.host) = s + 1
       u.url -> s
     }.toMap
+    // token-bucket: slot × the host's crawl delay (default 1s)
+    val readyS = globallyOrdered.map { u =>
+      u.url -> slots(u.url).toLong * robots.get(u.host).map(_.crawlDelayS).getOrElse(1)
+    }.toMap
     // 5. update seen; deferred = unseen not scheduled
     scheduledSet.foreach(u => seen += u.url)
     val schedUrls = scheduledSet.map(_.url).toSet
     val deferred = unseen.filterNot(u => schedUrls.contains(u.url))
-    (RoundResult(globallyOrdered, slots), deferred)
+    (RoundResult(globallyOrdered, slots, readyS), deferred)
   }
 
   /** Multi-round crawl with deterministic discovery expansion. */

@@ -111,6 +111,33 @@ class CrawlSpec extends AnyFunSuite {
     assert(r3 == oracleRounds(3).scheduled.map(_.url))
   }
 
+  test("robots gate + token-bucket ready times match oracle") {
+    import spark.implicits._
+    val robotsMap = (0 until 4).map { i =>
+      s"host-$i.example" -> OracleCrawler.Robots(
+        if (i % 2 == 0) Some("/p/1") else None, i % 3 + 1)
+    }.toMap
+    val robotsDf = robotsMap.toSeq.map { case (h, r) =>
+      (h, r.disallowPrefix.orNull, r.crawlDelayS)
+    }.toDF("host", "disallow_prefix", "crawl_delay_s")
+
+    val seen0 = scala.collection.mutable.Set[String]()
+    val (oracleRes, _) = OracleCrawler.round(seed, seen0, budgetPerHost = 4, robotsMap)
+
+    val (sched, newSeen, _) = Frontier.round(toDf(seed), toDf(Nil).select("url"),
+      budgetPerHost = 4, robots = Some(robotsDf))
+    val rows = sched.orderBy(col("priority").desc, col("seq").asc, col("url").asc)
+      .collect()
+      .map(r => (r.getAs[String]("url"), r.getAs[Int]("slot"), r.getAs[Long]("ready_s")))
+    assert(rows.map(_._1).toVector == oracleRes.scheduled.map(_.url))
+    rows.foreach { case (url, slot, ready) =>
+      assert(slot == oracleRes.slots(url))
+      assert(ready == oracleRes.readyS(url), s"ready_s mismatch for $url")
+    }
+    // disallowed urls are in seen even though never scheduled
+    assert(newSeen.collect().map(_.getString(0)).toSet == seen0.toSet)
+  }
+
   test("manifest carries metrics + per-partition lineage") {
     val root = Files.createTempDirectory("crawl_manifest").toString
     Frontier.crawl(spark, root, toDf(seed), rounds = 1, budgetPerHost = 2)
