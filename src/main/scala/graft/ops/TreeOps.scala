@@ -290,7 +290,8 @@ object TreeOps {
 
   def removeAttrs(a: Arena, id: Int, keys: Seq[String]): Unit = {
     val n = a(id)
-    if (n.attrs != null) keys.foreach(n.attrs.remove)
+    // empty attr names are ignored (tests/selection-property.rs:54-60)
+    if (n.attrs != null) keys.filter(_.nonEmpty).foreach(n.attrs.remove)
   }
 
   def retainAttrs(a: Arena, id: Int, keys: Set[String]): Unit = {
@@ -308,9 +309,10 @@ object TreeOps {
   def addClass(a: Arena, id: Int, classes: String): Unit = {
     val n = a(id)
     if (!n.isElement) return
-    val existing = n.classList
     val incoming = classes.split("[ \t\n\r\f]+").filter(_.nonEmpty)
-    val merged = (existing ++ incoming).distinct
+    if (incoming.isEmpty) return // empty class string is a no-op
+    // (tests/selection-property.rs:120-125: class attr stays absent)
+    val merged = (n.classList ++ incoming).distinct
     setAttr(a, id, "class", merged.mkString(" "))
   }
 

@@ -171,149 +171,171 @@ object Serializer {
     out
   }
 
-  /** Markdown serialization (S5) — lite but faithful for the common shapes:
-    * headings, paragraphs, bold/italic/code, links, images, lists, tables,
-    * blockquotes, pre/code fences. Default skip list matches the reference
-    * (`src/serializing/md/constants.rs:5`): script, style, meta, head. */
+  /**
+   * Markdown serialization (S5) — conventions matched to the reference's own
+   * goldens (`src/serializing/md.rs` tests): markdown specials escaped in
+   * prose, *italic* / **bold** / ***bold-italic***, inline `code` vs fenced
+   * blocks (fenced when the raw code text is multi-line), "- " unordered and
+   * "1. " ordered items (all ordered items use 1.), "---" rules,
+   * empty-header pipe tables, block separation by exactly one blank line,
+   * and includeRoot=true keeping leading/trailing whitespace. Default skip
+   * list matches `md/constants.rs:5`: script, style, meta, head.
+   */
   def toMd(acc: NodeAccess, root: Int, includeRoot: Boolean,
       skipTags: Seq[String] = Seq("script", "style", "meta", "head")): String = {
     val skip = skipTags.toSet
-    val sb = new StringBuilder
+    val sb = new java.lang.StringBuilder
 
-    def inlineText(id: Int): String = {
-      val b = new StringBuilder
-      def walk(i: Int): Unit = {
-        acc.kind(i) match {
-          case "text" => if (acc.text(i) != null) b.append(acc.text(i).replaceAll("\\s+", " "))
-          case "element" =>
-            val nm = acc.name(i)
-            if (!skip(nm)) nm match {
-              case "strong" | "b" => b.append("**"); walkKids(i); b.append("**")
-              case "em" | "i" => b.append('*'); walkKids(i); b.append('*')
-              case "code" => b.append('`'); walkKids(i); b.append('`')
-              case "del" | "s" => b.append("~~"); walkKids(i); b.append("~~")
-              case "br" => b.append("\n")
-              case "a" =>
-                val href = Option(acc.attr(i, "href")).getOrElse("")
-                b.append('[')
-                walkKids(i)
-                b.append("](").append(href).append(')')
-              case "img" =>
-                val src = Option(acc.attr(i, "src")).getOrElse("")
-                val alt = Option(acc.attr(i, "alt")).getOrElse("")
-                b.append("![").append(alt).append("](").append(src).append(')')
-              case _ => walkKids(i)
-            }
-          case _ =>
+    val blockTags = Set("h1", "h2", "h3", "h4", "h5", "h6", "p", "div", "ul",
+      "ol", "pre", "table", "hr", "blockquote", "section", "article", "header",
+      "footer", "nav", "aside", "main", "figure", "body", "html")
+
+    def isUws(c: Char) = Character.isWhitespace(c) || Character.isSpaceChar(c)
+
+    def escapeMd(s: String): String = {
+      val b = new java.lang.StringBuilder(s.length)
+      s.foreach {
+        case c @ ('\\' | '`' | '*' | '_' | '[' | ']' | '(' | ')' | '#' | '.' | '!') =>
+          b.append('\\').append(c)
+        case c => b.append(c)
+      }
+      b.toString
+    }
+
+    def collapseWs(s: String): String = {
+      val b = new java.lang.StringBuilder(s.length)
+      var ws = false
+      s.foreach { c =>
+        if (isUws(c)) ws = true
+        else { if (ws && b.length > 0) b.append(' '); ws = false; b.append(c) }
+      }
+      // keep single boundary spaces for inline joining
+      val lead = if (s.nonEmpty && isUws(s.charAt(0))) " " else ""
+      val trail = if (s.nonEmpty && isUws(s.charAt(s.length - 1)) && b.length > 0) " " else ""
+      lead + b.toString + trail
+    }
+
+    def rawText(id: Int): String = graft.css.Engine.subtreeText(acc, id)
+
+    /** render a node's children as inline markdown */
+    def inline(id: Int): String = {
+      val b = new java.lang.StringBuilder
+      var c = acc.firstChild(id)
+      while (c != -1) { b.append(inlineNode(c)); c = acc.nextSibling(c) }
+      b.toString
+    }
+
+    def inlineNode(i: Int): String = acc.kind(i) match {
+      case "text" =>
+        val t = acc.text(i)
+        if (t == null) "" else escapeMd(collapseWs(t))
+      case "element" =>
+        val nm = acc.name(i)
+        if (skip(nm)) ""
+        else nm match {
+          case "em" | "i" =>
+            val in = inline(i).trim
+            if (in.isEmpty) "" else s"*$in*"
+          case "strong" | "b" =>
+            val in = inline(i).trim
+            if (in.isEmpty) "" else s"**$in**"
+          case "del" | "s" =>
+            val in = inline(i).trim
+            if (in.isEmpty) "" else s"~~$in~~"
+          case "code" =>
+            val in = collapseWs(rawText(i)).trim // no escaping inside code
+            if (in.isEmpty) "" else s"`$in`"
+          case "br" => "\n"
+          case "a" =>
+            val href = Option(acc.attr(i, "href")).getOrElse("")
+            val in = inline(i).trim
+            s"[$in]($href)"
+          case "img" =>
+            val src = Option(acc.attr(i, "src")).getOrElse("")
+            val alt = Option(acc.attr(i, "alt")).getOrElse("")
+            s"![$alt]($src)"
+          case _ => inline(i)
         }
-      }
-      def walkKids(i: Int): Unit = {
-        var c = acc.firstChild(i)
-        while (c != -1) { walk(c); c = acc.nextSibling(c) }
-      }
-      walk(id)
-      b.toString.trim
-    }
-
-    def block(id: Int, listDepth: Int, ordered: Boolean): Unit = {
-      acc.kind(id) match {
-        case "element" =>
-          val nm = acc.name(id)
-          if (skip(nm)) return
-          nm match {
-            case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" =>
-              pad(); sb.append("#" * (nm.charAt(1) - '0')).append(' ').append(inlineText(id)).append("\n\n")
-            case "p" =>
-              val t = inlineText(id)
-              if (t.nonEmpty) { pad(); sb.append(t).append("\n\n") }
-            case "ul" | "ol" =>
-              var c = acc.firstChild(id)
-              var k = 1
-              while (c != -1) {
-                if (acc.isElement(c) && acc.name(c) == "li") {
-                  sb.append("  " * listDepth)
-                  if (nm == "ol") { sb.append(k).append(". ") ; k += 1 }
-                  else sb.append("- ")
-                  sb.append(inlineLiHead(c)).append('\n')
-                  // nested lists inside li
-                  var cc = acc.firstChild(c)
-                  while (cc != -1) {
-                    if (acc.isElement(cc) && (acc.name(cc) == "ul" || acc.name(cc) == "ol"))
-                      block(cc, listDepth + 1, acc.name(cc) == "ol")
-                    cc = acc.nextSibling(cc)
-                  }
-                }
-                c = acc.nextSibling(c)
-              }
-              if (listDepth == 0) sb.append('\n')
-            case "pre" =>
-              pad(); sb.append("```\n").append(graft.css.Engine.subtreeText(acc, id)).append("\n```\n\n")
-            case "blockquote" =>
-              val t = inlineText(id)
-              pad(); t.split('\n').foreach(l => sb.append("> ").append(l).append('\n'))
-              sb.append('\n')
-            case "table" =>
-              val rows = collectRows(id)
-              rows.zipWithIndex.foreach { case (cells, ri) =>
-                sb.append('|').append(cells.map(c => s" ${inlineText(c)} ").mkString("|")).append("|\n")
-                if (ri == 0) sb.append('|').append(cells.map(_ => " --- ").mkString("|")).append("|\n")
-              }
-              sb.append('\n')
-            case "hr" => pad(); sb.append("---\n\n")
-            case _ =>
-              // container: recurse into children as blocks
-              var c = acc.firstChild(id)
-              var hadBlock = false
-              var inlineBuf = new StringBuilder
-              while (c != -1) {
-                if (isBlockish(c)) {
-                  flushInline(inlineBuf); inlineBuf = new StringBuilder
-                  block(c, listDepth, ordered); hadBlock = true
-                } else {
-                  val t = inlineFragment(c)
-                  if (t.nonEmpty) inlineBuf.append(t)
-                }
-                c = acc.nextSibling(c)
-              }
-              flushInline(inlineBuf)
-              val _ = hadBlock
-          }
-        case "text" =>
-          val t = Option(acc.text(id)).getOrElse("").trim
-          if (t.nonEmpty) { pad(); sb.append(t.replaceAll("\\s+", " ")).append("\n\n") }
-        case _ =>
-          var c = acc.firstChild(id)
-          while (c != -1) { block(c, listDepth, ordered); c = acc.nextSibling(c) }
-      }
-    }
-
-    def pad(): Unit = ()
-    def flushInline(b: StringBuilder): Unit = {
-      val t = b.toString.trim
-      if (t.nonEmpty) sb.append(t).append("\n\n")
-    }
-    def inlineFragment(i: Int): String = acc.kind(i) match {
-      case "text" => Option(acc.text(i)).getOrElse("").replaceAll("\\s+", " ")
-      case "element" if !skip(acc.name(i)) => inlineText(i)
       case _ => ""
     }
-    def isBlockish(i: Int): Boolean = acc.isElement(i) && Set(
-      "h1", "h2", "h3", "h4", "h5", "h6", "p", "div", "ul", "ol", "pre",
-      "blockquote", "table", "hr", "section", "article", "header", "footer",
-      "main", "nav", "aside", "body", "html", "head", "figure").contains(acc.name(i))
-    def inlineLiHead(li: Int): String = {
-      val b = new StringBuilder
-      var c = acc.firstChild(li)
+
+    /** bring the buffer to exactly one blank line of separation */
+    def blockSep(): Unit = {
+      if (sb.length == 0) { sb.append("\n\n"); return }
+      while (sb.length > 0 && sb.charAt(sb.length - 1) == ' ')
+        sb.setLength(sb.length - 1)
+      if (sb.length >= 2 && sb.charAt(sb.length - 1) == '\n' &&
+          sb.charAt(sb.length - 2) == '\n') ()
+      else if (sb.length >= 1 && sb.charAt(sb.length - 1) == '\n') sb.append('\n')
+      else sb.append("\n\n")
+    }
+
+    def emitBlock(content: String): Unit = {
+      if (content.isEmpty) return
+      blockSep()
+      sb.append(content)
+      blockSep()
+    }
+
+    def isBlock(i: Int): Boolean = acc.isElement(i) && blockTags(acc.name(i))
+
+    /** render a container's children: runs of inline nodes become paragraphs,
+      * block elements dispatch */
+    def container(id: Int): Unit = {
+      val para = new java.lang.StringBuilder
+      def flush(): Unit = { emitBlock(para.toString.trim); para.setLength(0) }
+      var c = acc.firstChild(id)
       while (c != -1) {
-        if (!(acc.isElement(c) && (acc.name(c) == "ul" || acc.name(c) == "ol")))
-          b.append(inlineFragment(c))
+        if (acc.isElement(c) && skip(acc.name(c))) ()
+        else if (isBlock(c)) { flush(); block(c) }
+        else if (acc.isElement(c) && acc.name(c) == "code" &&
+                 rawText(c).trim.contains('\n')) {
+          // multi-line <code> at block position → fenced block, verbatim
+          flush()
+          emitBlock("```\n" + rawText(c).trim + "\n```")
+        } else para.append(inlineNode(c))
         c = acc.nextSibling(c)
       }
-      b.toString.trim
+      flush()
     }
-    def collectRows(table: Int): List[List[Int]] = {
+
+    def list(id: Int, ordered: Boolean, depth: Int): Unit = {
+      var c = acc.firstChild(id)
+      while (c != -1) {
+        if (acc.isElement(c)) acc.name(c) match {
+          case "li" =>
+            if (sb.length > 0 && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
+            sb.append("  " * depth)
+            sb.append(if (ordered) "1. " else "- ")
+            // item head: inline content excluding nested lists
+            val head = new java.lang.StringBuilder
+            var cc = acc.firstChild(c)
+            while (cc != -1) {
+              if (acc.isElement(cc) && (acc.name(cc) == "ul" || acc.name(cc) == "ol")) ()
+              else if (isBlock(cc)) head.append(inline(cc))
+              else head.append(inlineNode(cc))
+              cc = acc.nextSibling(cc)
+            }
+            sb.append(head.toString.trim).append('\n')
+            // nested lists
+            cc = acc.firstChild(c)
+            while (cc != -1) {
+              if (acc.isElement(cc) && (acc.name(cc) == "ul" || acc.name(cc) == "ol"))
+                list(cc, acc.name(cc) == "ol", depth + 1)
+              cc = acc.nextSibling(cc)
+            }
+          case "ul" | "ol" => list(c, acc.name(c) == "ol", depth + 1)
+          case _ =>
+            // non-li block inside a list breaks the list (md.rs test_bad_ol)
+            emitBlock(inline(c).trim)
+        }
+        c = acc.nextSibling(c)
+      }
+    }
+
+    def table(id: Int): Unit = {
       val rows = scala.collection.mutable.ListBuffer[List[Int]]()
-      def walk(i: Int): Unit = {
+      def walkRows(i: Int): Unit = {
         var c = acc.firstChild(i)
         while (c != -1) {
           if (acc.isElement(c)) acc.name(c) match {
@@ -321,26 +343,64 @@ object Serializer {
               val cells = scala.collection.mutable.ListBuffer[Int]()
               var cc = acc.firstChild(c)
               while (cc != -1) {
-                if (acc.isElement(cc) && (acc.name(cc) == "td" || acc.name(cc) == "th")) cells += cc
+                if (acc.isElement(cc) && (acc.name(cc) == "td" || acc.name(cc) == "th"))
+                  cells += cc
                 cc = acc.nextSibling(cc)
               }
-              rows += cells.toList
-            case "thead" | "tbody" | "tfoot" => walk(c)
+              if (cells.nonEmpty) rows += cells.toList
+            case "thead" | "tbody" | "tfoot" => walkRows(c)
             case _ =>
           }
           c = acc.nextSibling(c)
         }
       }
-      walk(table)
-      rows.toList
+      walkRows(id)
+      if (rows.isEmpty) return
+      val n = rows.map(_.length).max
+      blockSep()
+      sb.append("|").append("   |" * n).append('\n')
+      sb.append("|").append(" - |" * n).append('\n')
+      rows.foreach { cells =>
+        sb.append("|")
+        cells.foreach(c => sb.append(' ').append(inline(c).trim).append(" |"))
+        (cells.length until n).foreach(_ => sb.append("   |"))
+        sb.append('\n')
+      }
+      blockSep()
     }
 
-    if (includeRoot) block(root, 0, ordered = false)
-    else {
-      var c = acc.firstChild(root)
-      while (c != -1) { block(c, 0, ordered = false); c = acc.nextSibling(c) }
+    def block(i: Int): Unit = {
+      val nm = acc.name(i)
+      nm match {
+        case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" =>
+          emitBlock("#" * (nm.charAt(1) - '0') + " " + inline(i).trim)
+        case "hr" => emitBlock("---")
+        case "p" => emitBlock(inline(i).trim)
+        case "ul" | "ol" =>
+          blockSep(); list(i, nm == "ol", 0)
+        case "pre" =>
+          emitBlock("```\n" + rawText(i).trim + "\n```")
+        case "blockquote" =>
+          val in = inline(i).trim
+          if (in.nonEmpty) emitBlock(in.split('\n').map("> " + _).mkString("\n"))
+        case "table" => table(i)
+        case _ => container(i) // generic containers recurse
+      }
     }
-    sb.toString.replaceAll("\\n{3,}", "\n\n").replaceAll("\\s+$", "")
+
+    if (acc.isElement(root) && isBlock(root) && acc.name(root) != "body" &&
+        acc.name(root) != "html") block(root)
+    else container(root)
+
+    var out = sb.toString
+    if (!includeRoot) {
+      var s = 0
+      var e = out.length
+      while (s < e && isUws(out.charAt(s))) s += 1
+      while (e > s && isUws(out.charAt(e - 1))) e -= 1
+      out = out.substring(s, e)
+    }
+    out
   }
 }
 

@@ -168,6 +168,21 @@ class MutationSpec extends AnyFunSuite {
     ok(doc)
   }
 
+  test("empty class / empty attr-name ops are no-ops (selection-property.rs:54-125)") {
+    val doc = Doc.parse("""<div id="e">x</div>""")
+    val e = doc.select("#e").ids.head
+    TreeOps.addClass(doc.arena, e, "")
+    assert(!doc.acc.hasAttr(e, "class"))
+    TreeOps.removeAttrs(doc.arena, e, Seq(""))
+    assert(doc.acc.attr(e, "id") == "e")
+    TreeOps.addClass(doc.arena, e, "odd")
+    TreeOps.addClass(doc.arena, e, "odder")
+    assert(doc.acc.hasClass(e, "odd") && doc.acc.hasClass(e, "odder"))
+    TreeOps.removeClass(doc.arena, e, "odd")
+    assert(!doc.acc.hasClass(e, "odd") && doc.acc.hasClass(e, "odder"))
+    ok(doc)
+  }
+
   test("rename (node-manipulation.rs:656)") {
     val doc = Doc.parse("""<div id="r">x</div>""")
     doc.select("#r").rename("span")

@@ -149,20 +149,71 @@ That's how we keep our code development!
     assert(doc.html == "<!DOCTYPE html><html><head></head><body><!--note--><p>x</p></body></html>")
   }
 
-  test("markdown serialization basics (S5)") {
-    val doc = Doc.parse("<h1>Title</h1><p>Some <strong>bold</strong> and <em>it</em>.</p><ul><li>a</li><li>b</li></ul>")
-    val md = doc.mdText
-    assert(md.contains("# Title"))
-    assert(md.contains("Some **bold** and *it*."))
-    assert(md.contains("- a"))
-    assert(md.contains("- b"))
+  // --- markdown goldens from the reference's own serializer tests
+  // (src/serializing/md.rs) — html_2md_compare uses include_node=false ---
+
+  private def md(html: String): String = Doc.parse(html).mdText
+
+  test("md headings + escapes + hr (md.rs test_headings)") {
+    val contents = "<h1>Heading 1</h1>\n        <h2>Heading 2</h2>\n        " +
+      "<h3>Heading 3</h3>\n        <h4>Heading 4</h4>\n        <h5>Heading 5</h5>\n        " +
+      "<h6>Heading 6</h6>\n        <h3><span>III.</span> Heading With Span</h3>\n        " +
+      "<h3><span></span>Early years (2006\u20132009)</h3>\n        " +
+      "<h3><span> </span> Early years (2006\u20132009)</h3>\n        <hr>"
+    val expected = "\n\n# Heading 1\n\n## Heading 2\n\n### Heading 3\n\n" +
+      "#### Heading 4\n\n##### Heading 5\n\n###### Heading 6\n\n" +
+      "### III\\. Heading With Span\n\n### Early years \\(2006\u20132009\\)\n\n" +
+      "### Early years \\(2006\u20132009\\)\n\n---\n\n"
+    val doc = Doc.parse(contents)
+    val body = doc.select("body").ids.head
+    val got = graft.sources.Serializer.toMd(doc.acc, body, includeRoot = true)
+    assert(got == expected)
   }
 
-  test("markdown skips script/style by default (md/constants.rs:5)") {
-    val doc = Doc.parse("<p>keep</p><script>var x=1;</script><style>.a{}</style>")
-    val md = doc.mdText
-    assert(md.contains("keep"))
-    assert(!md.contains("var x"))
-    assert(!md.contains(".a{}"))
+  test("md italic / bold-italic / code (md.rs)") {
+    assert(md("<h4><i>Italic Text</i></h4>") == "#### *Italic Text*")
+    assert(md("<span>It`s like <i>that</i></span>") == "It\\`s like *that*")
+    assert(md("<span>It`s like <b><i>that</i></b></span>") == "It\\`s like ***that***")
+    assert(md("<span>It`s like <code>that</code></span>") == "It\\`s like `that`")
+  }
+
+  test("md false multiline code collapses to inline (md.rs)") {
+    val contents = "<span>\n        It`s like \n        <code>\n        that\n        </code>\n        </span>"
+    assert(md(contents) == "It\\`s like `that`")
+  }
+
+  test("md multiline code becomes a fence (md.rs test_multiline_code)") {
+    val contents = "<code>$ cargo new hello\n    Created binary (application) `hello` package\n\n$ cd hello</code>"
+    val expected = "```\n$ cargo new hello\n    Created binary (application) `hello` package\n\n$ cd hello\n```"
+    assert(md(contents) == expected)
+  }
+
+  test("md ul / ol / broken ol (md.rs test_ul/test_ol/test_bad_ol)") {
+    val ul = "<h3>Pizza Margherita Ingredients</h3><ul><li>Pizza Dough</li>" +
+      "<li>Mozzarella cheese</li><li>Tomatoes</li><li>Olive Oil</li>" +
+      "<li><i>Basil</i></li><li><b>Salt</b></li></ul>"
+    assert(md(ul) == "### Pizza Margherita Ingredients\n\n- Pizza Dough\n" +
+      "- Mozzarella cheese\n- Tomatoes\n- Olive Oil\n- *Basil*\n- **Salt**")
+    val ol = ul.replace("<ul>", "<ol>").replace("</ul>", "</ol>")
+    assert(md(ol) == "### Pizza Margherita Ingredients\n\n1. Pizza Dough\n" +
+      "1. Mozzarella cheese\n1. Tomatoes\n1. Olive Oil\n1. *Basil*\n1. **Salt**")
+    val badOl = "<h3>Pizza Margherita Ingredients</h3><ol><li>Pizza Dough</li>" +
+      "<li>Mozzarella cheese</li><li>Tomatoes</li><li>Olive Oil</li>" +
+      "<div><i>Basil</i></div><li><b>Salt</b></li></ol>"
+    assert(md(badOl) == "### Pizza Margherita Ingredients\n\n1. Pizza Dough\n" +
+      "1. Mozzarella cheese\n1. Tomatoes\n1. Olive Oil\n\n*Basil*\n\n1. **Salt**")
+  }
+
+  test("md table golden (node-traversal.rs test_doc_format_md_table)") {
+    val doc = Doc.parse(MINI_TABLE)
+    assert(doc.mdText ==
+      "|   |   |   |\n| - | - | - |\n| 1 | 2 | 3 |\n| 4 | 5 | 6 |")
+  }
+
+  test("md skips script/style by default (md/constants.rs:5)") {
+    val got = md("<p>keep</p><script>var x=1;</script><style>.a{}</style>")
+    assert(got.contains("keep"))
+    assert(!got.contains("var x"))
+    assert(!got.contains(".a{}"))
   }
 }
