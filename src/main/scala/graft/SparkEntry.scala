@@ -160,6 +160,24 @@ object SparkEntry {
           size(F.css_select(col("nodes2"), "li.extra")).cast("long").as("n_extra"))
         .orderBy("doc_id")),
 
+    // input_hint interchange: preorder span flattening (kind:text signature)
+    "q_dom_spans" -> ((s, dir) =>
+      parts(s, dir)
+        .select(col("doc_id"),
+          expr("""array_join(transform(dom_spans(nodes),
+                    sp -> concat(sp.kind, ':', coalesce(sp.text, ''))), '|')""")
+            .as("span_sig"))
+        .orderBy("doc_id")),
+
+    // S5: markdown serialization of the #main subtree
+    "q_dom_md" -> ((s, dir) =>
+      parts(s, dir)
+        .select(col("doc_id"),
+          regexp_replace(regexp_replace(
+            F.dom_md(col("nodes"), F.css_select(col("nodes"), "#main")),
+            "^[\\n ]+", ""), "[\\n ]+$", "").as("md"))
+        .orderBy("doc_id")),
+
     // S6/X8: formatted text with block-element line-break rules
     "q_dom_formatted_text" -> ((s, dir) =>
       parts(s, dir)
@@ -407,6 +425,22 @@ object SparkEntry {
       "q_dom_mutate_validate" ->
         """SELECT cast(p_partkey as varchar) AS doc_id,
            true AS is_valid, cast(1 as bigint) AS n_extra
+           FROM part ORDER BY doc_id""",
+      "q_dom_spans" ->
+        """SELECT cast(p_partkey as varchar) AS doc_id,
+           'document:|element:|element:|element:|text:Part ' || p_partkey ||
+           '|element:|element:|element:|element:|text:' || p_type ||
+           '|element:|' ||
+           array_to_string(list_transform(string_split(p_name, ' '),
+                                          w -> 'element:|text:' || w), '|') ||
+           '|element:|text:size ' || p_size AS span_sig
+           FROM part ORDER BY doc_id""",
+      "q_dom_md" ->
+        """SELECT cast(p_partkey as varchar) AS doc_id,
+           '[' || p_type || '](/part/' || p_partkey || ')' || chr(10) || chr(10) ||
+           array_to_string(list_transform(string_split(p_name, ' '), w -> '- ' || w),
+                           chr(10)) ||
+           chr(10) || chr(10) || 'size ' || p_size AS md
            FROM part ORDER BY doc_id""",
       "q_dom_formatted_text" ->
         """SELECT cast(p_partkey as varchar) AS doc_id,

@@ -52,6 +52,13 @@ case class NodeRec(
     next_elem_sib: Int
 )
 
+/** Canonical interchange span (BASELINE.json input_hint): one row of the
+  * preorder-flattened document. `offset` == preorder position. */
+case class Span(kind: String, text: String, media_ref: String, offset: Int)
+
+/** The canonical input-table row: `docs(doc_id, spans)`. */
+case class DocRow(doc_id: String, spans: Seq[Span])
+
 object NodeKind {
   val Document = "document"
   val Fragment = "fragment"

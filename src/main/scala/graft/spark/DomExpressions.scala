@@ -311,6 +311,55 @@ case class DomMutate(children: Seq[Expression]) extends Expression with CodegenF
     copy(children = cs)
 }
 
+/**
+ * `dom_spans(nodes)` → the canonical interchange view of the input_hint:
+ * `ARRAY<STRUCT<kind:STRING, text:STRING, media_ref:STRING, offset:INT>>`,
+ * the document flattened in PREORDER (pointer walk — correct post-mutation,
+ * where arena order ≠ document order). `media_ref` carries the interleaved
+ * media pointer: the `src` attribute of img/audio/video/source/track/embed
+ * elements. The per-row invariant vs the reference is span-sequence equality
+ * on (kind, text, media_ref, order) — reference preorder per
+ * `src/node/iters.rs:142-200`.
+ */
+case class DomSpans(child: Expression) extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.types._
+  private val mediaElems = Set("img", "audio", "video", "source", "track", "embed")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("text", StringType),
+    StructField("media_ref", StringType),
+    StructField("offset", IntegerType, nullable = false))), containsNull = false)
+  override def nullSafeEval(nodes: Any): Any = {
+    val acc = new ArrayDataAccess(nodes.asInstanceOf[ArrayData])
+    if (acc.size == 0) return new GenericArrayData(Array.empty[Any])
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    var offset = 0
+    var stack: List[Int] = List(0)
+    while (stack.nonEmpty) {
+      val cur = stack.head
+      stack = stack.tail
+      val kind = acc.kind(cur)
+      val text = if (acc.isText(cur) || kind == "comment" || kind == "pi") acc.text(cur) else null
+      val media =
+        if (acc.isElement(cur) && mediaElems(acc.name(cur))) acc.attr(cur, "src")
+        else acc.mediaRef(cur)
+      out += InternalRow(
+        UTF8String.fromString(kind),
+        if (text == null) null else UTF8String.fromString(text),
+        if (media == null) null else UTF8String.fromString(media),
+        offset)
+      offset += 1
+      var kids: List[Int] = Nil
+      var c = acc.lastChild(cur)
+      while (c != -1) { kids = c :: kids; c = acc.prevSibling(c) }
+      stack = kids ::: stack
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override def prettyName: String = "dom_spans"
+  override protected def withNewChildInternal(c: Expression): DomSpans = copy(child = c)
+}
+
 /** `dom_validate(nodes)` → NULL if structurally valid else the violation (C4). */
 case class DomValidate(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StringType

@@ -46,6 +46,7 @@ object GraftFunctions {
       val padded = es ++ Seq.fill(5 - es.length)(Literal(null))
       DomMutate(padded)
     }
+    add("dom_spans")(es => DomSpans(es.head))
     add("dom_validate")(es => DomValidate(es.head))
     add("dom_base_uri")(es => DomBaseUri(es.head))
     add("canonicalize_url")(es => graft.crawl.CanonicalizeUrl(es(0), es(1)))
@@ -89,6 +90,7 @@ object GraftFunctions {
   def dom_mutate(nodes: Column, css: String, op: String,
       arg1: Column = lit(null), arg2: Column = lit(null)): Column =
     call_function("dom_mutate", nodes, lit(css), lit(op), arg1, arg2)
+  def dom_spans(nodes: Column): Column = call_function("dom_spans", nodes)
   def dom_validate(nodes: Column): Column = call_function("dom_validate", nodes)
   def dom_base_uri(nodes: Column): Column = call_function("dom_base_uri", nodes)
   def canonicalize_url(url: Column, base: Column): Column =

@@ -52,6 +52,16 @@ object SynthDocs {
       .withColumn("nodes", GraftFunctions.parse_html(col("html")))
   }
 
+  /** Typed view per the input_hint contract: `Dataset[DocRow]` with the
+    * preorder span flattening. Type-safe boundary for consumers that want
+    * compile-time checks over the interchange schema. */
+  def asDocRows(docs: DataFrame): org.apache.spark.sql.Dataset[graft.model.DocRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), GraftFunctions.dom_spans(col("nodes")).as("spans"))
+      .as[graft.model.DocRow]
+  }
+
   /** hacker_news-like docs from orders: one story row per order.
     * Story link = /item?id=<orderkey>; site = host derived from custkey. */
   def hnHtml(orderkey: Column, custkey: Column, status: Column, priority: Column): Column =

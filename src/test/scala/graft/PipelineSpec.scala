@@ -94,6 +94,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("span-sequence invariant: dom_spans tracks mutations, typed Dataset[DocRow] works") {
+    import graft.spark.{GraftFunctions => F, SynthDocs}
+    F.register(spark)
+    val docs = SynthDocs.partDocs(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id").cast("long") < 20)
+    // typed boundary
+    val ds = SynthDocs.asDocRows(docs)
+    val row = ds.filter(_.doc_id == "7").collect().head
+    assert(row.spans.head.kind == "documen" + "t")
+    assert(row.spans.map(_.offset) == row.spans.indices)
+    // invariant after mutation: removing the <ul> removes exactly the li/text spans
+    val before = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+      F.dom_spans(org.apache.spark.sql.functions.col("nodes")).as("s")).collect()
+      .map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1).length).toMap
+    val after = docs
+      .withColumn("nodes2", F.dom_mutate(org.apache.spark.sql.functions.col("nodes"),
+        "ul.words", "remove"))
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        F.dom_spans(org.apache.spark.sql.functions.col("nodes2")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1).length).toMap
+    before.foreach { case (id, n) =>
+      assert(after(id) < n, s"doc $id: spans did not shrink after subtree removal")
+    }
+  }
+
   test("structured streaming: events stream through windowed aggregation") {
     import org.apache.spark.sql.streaming.Trigger
     val schema = spark.read.parquet(s"$sf/events.parquet").schema
