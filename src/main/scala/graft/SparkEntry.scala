@@ -190,6 +190,25 @@ object SparkEntry {
     // flagship link extraction (P10 :has + Q3 chains + X1/X6)
     "q_links" -> ((s, dir) => qLinks(s, dir)),
 
+    // flagship at reference scale: multi-story pages, per-story extraction
+    // batched in ONE projection (dom_*_each) then exploded — the nodes array
+    // is never duplicated per output row
+    "q_links_big" -> ((s, dir) => {
+      val docs = SynthDocs.hnBigDocs(s, dir)
+      docs
+        .withColumn("athing", F.css_select(col("nodes"), "tr.athing:has(a[href][id])"))
+        .withColumn("title_a", F.css_select_under(col("nodes"), col("athing"), ".title a.storylink"))
+        .withColumn("site_a", F.css_select_under(col("nodes"), col("athing"), ".sitebit a"))
+        .select(col("doc_id"),
+          explode(arrays_zip(
+            F.dom_attr_each(col("nodes"), col("title_a"), "href").as("href"),
+            F.dom_text_each(col("nodes"), col("title_a")).as("title"),
+            F.dom_text_each(col("nodes"), col("site_a")).as("source"))).as("x"))
+        .select(col("doc_id"), col("x.href").as("href"),
+          col("x.title").as("title"), col("x.source").as("source"))
+        .orderBy("doc_id", "href")
+    }),
+
     // windowed aggregation over the events table (same plan batch/streaming)
     "q_events_windowed" -> ((s, dir) =>
       s.read.parquet(s"$dir/events.parquet")
@@ -478,6 +497,12 @@ object SparkEntry {
            'cust-' || o_custkey || '.example' AS source
            FROM orders ORDER BY doc_id""",
     ) ++ pipelineOracles ++ Map(
+      "q_links_big" ->
+        """SELECT cast(o_orderkey // 25 as varchar) AS doc_id,
+           'item?id=' || o_orderkey AS href,
+           'Order ' || o_orderkey || ' [' || o_orderpriority || ']' AS title,
+           'cust-' || o_custkey || '.example' AS source
+           FROM orders ORDER BY doc_id, href""",
       "q_url_canonicalize" ->
         """SELECT cast(p_partkey as varchar) AS doc_id,
            CASE p_partkey % 5

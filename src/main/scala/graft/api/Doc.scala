@@ -19,13 +19,13 @@ final class Doc(val arena: Arena) {
   /** All descendants of root matching the selector, document order (Q1).
     * Panics on invalid selector like the reference (`document.rs:201-204`). */
   def select(css: String): Sel =
-    new Sel(this, Engine.select(acc, Seq(0), SelectorAst.parse(css)).toSeq)
+    new Sel(this, Engine.select(acc, Seq(0), SelectorAst.parseCached(css)).toSeq)
 
   def trySelect(css: String): Option[Sel] =
     SelectorAst.tryParse(css).map(l => new Sel(this, Engine.select(acc, Seq(0), l).toSeq))
 
   def selectSingle(css: String): Sel = {
-    val f = Engine.selectFirst(acc, Seq(0), SelectorAst.parse(css))
+    val f = Engine.selectFirst(acc, Seq(0), SelectorAst.parseCached(css))
     new Sel(this, if (f == -1) Nil else Seq(f))
   }
 
@@ -37,7 +37,7 @@ final class Doc(val arena: Arena) {
 
   /** `html>head>base[href]` fast path (F5, `tree.rs:86-95`). */
   def baseUri: Option[String] = {
-    val f = Engine.selectFirst(acc, Seq(0), SelectorAst.parse("html > head > base[href]"))
+    val f = Engine.selectFirst(acc, Seq(0), SelectorAst.parseCached("html > head > base[href]"))
     if (f == -1) None else Option(acc.attr(f, "href"))
   }
 
@@ -73,10 +73,10 @@ final class Sel(val doc: Doc, val ids: Seq[Int]) {
   /** Sub-select under each selected node; roots never match themselves
     * (`selection.rs:567-641`; `tests/selection-traversal.rs:26-30`). */
   def select(css: String): Sel =
-    new Sel(doc, Engine.select(acc, ids, SelectorAst.parse(css)).toSeq)
+    new Sel(doc, Engine.select(acc, ids, SelectorAst.parseCached(css)).toSeq)
 
   def filter(css: String): Sel = {
-    val list = SelectorAst.parse(css)
+    val list = SelectorAst.parseCached(css)
     new Sel(doc, ids.filter(i => Engine.matches(acc, i, list)))
   }
 
@@ -96,7 +96,7 @@ final class Sel(val doc: Doc, val ids: Seq[Int]) {
   }
 
   def is(css: String): Boolean = {
-    val list = SelectorAst.parse(css)
+    val list = SelectorAst.parseCached(css)
     ids.exists(i => Engine.matches(acc, i, list))
   }
 

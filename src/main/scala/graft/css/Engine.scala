@@ -106,8 +106,27 @@ final class ArenaAccess(a: Arena) extends NodeAccess with graft.sources.AttrIter
  * `src/mini_selector/extension.rs:34-93`), but *without* the mini engine's
  * descent pruning so results carry full selectors-crate / CSS semantics.
  */
+/** Allocation-free int stack for the hot DFS walks. */
+private[css] final class IntStack(initial: Int = 64) {
+  private var arr = new Array[Int](initial)
+  private var n = 0
+  def push(x: Int): Unit = {
+    if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n * 2)
+    arr(n) = x; n += 1
+  }
+  def pop(): Int = { n -= 1; arr(n) }
+  def nonEmpty: Boolean = n > 0
+  def clear(): Unit = n = 0
+}
+
 object Engine {
   import SelectorAst._
+
+  /** Push `i`'s children so that pops come out first-to-last. */
+  @inline private def pushChildrenReversed(acc: NodeAccess, i: Int, st: IntStack): Unit = {
+    var c = acc.lastChild(i)
+    while (c != -1) { st.push(c); c = acc.prevSibling(c) }
+  }
 
   /** All strict descendants of `roots` matching the selector list, in
     * document order (Q1/Q3). Roots themselves never match
@@ -120,7 +139,7 @@ object Engine {
 
   /** Convenience: select under the document root (id 0). */
   def selectDoc(acc: NodeAccess, css: String): Array[Int] =
-    select(acc, Seq(0), SelectorAst.parse(css))
+    select(acc, Seq(0), SelectorAst.parseCached(css))
 
   /** First match only (Q2) — document-order first. */
   def selectFirst(acc: NodeAccess, roots: Seq[Int], list: List[Complex]): Int = {
@@ -136,58 +155,62 @@ object Engine {
 
   private def selectComplex(acc: NodeAccess, roots: Seq[Int], cx: Complex,
       out: java.util.BitSet): Unit = {
-    var frontier: mutable.BitSet = mutable.BitSet(roots: _*)
+    var frontier = new java.util.BitSet(acc.size)
+    roots.foreach(frontier.set)
+    val walk = new IntStack()
     cx.steps.foreach { case (comb, compound) =>
-      val next = mutable.BitSet()
+      val next = new java.util.BitSet(acc.size)
       comb match {
         case Descendant =>
           // visit strict descendants of every frontier node, dedup via seen
-          val seen = mutable.BitSet()
-          frontier.foreach { f =>
-            var stack: List[Int] = childList(acc, f)
-            while (stack.nonEmpty) {
-              val cur = stack.head
-              stack = stack.tail
-              if (!seen(cur)) {
-                seen += cur
-                if (acc.isElement(cur) && matchCompound(acc, cur, compound)) next += cur
-                stack = childList(acc, cur) ::: stack
+          val seen = new java.util.BitSet(acc.size)
+          var f = frontier.nextSetBit(0)
+          while (f >= 0) {
+            walk.clear()
+            pushChildrenReversed(acc, f, walk)
+            while (walk.nonEmpty) {
+              val cur = walk.pop()
+              if (!seen.get(cur)) {
+                seen.set(cur)
+                if (acc.isElement(cur) && matchCompound(acc, cur, compound)) next.set(cur)
+                pushChildrenReversed(acc, cur, walk)
               }
             }
+            f = frontier.nextSetBit(f + 1)
           }
         case Child =>
-          frontier.foreach { f =>
+          var f = frontier.nextSetBit(0)
+          while (f >= 0) {
             var c = acc.firstChild(f)
             while (c != -1) {
-              if (acc.isElement(c) && matchCompound(acc, c, compound)) next += c
+              if (acc.isElement(c) && matchCompound(acc, c, compound)) next.set(c)
               c = acc.nextSibling(c)
             }
+            f = frontier.nextSetBit(f + 1)
           }
         case Adjacent =>
-          frontier.foreach { f =>
+          var f = frontier.nextSetBit(0)
+          while (f >= 0) {
             val s = acc.nextElemSibling(f)
-            if (s != -1 && matchCompound(acc, s, compound)) next += s
+            if (s != -1 && matchCompound(acc, s, compound)) next.set(s)
+            f = frontier.nextSetBit(f + 1)
           }
         case Sibling =>
-          frontier.foreach { f =>
+          var f = frontier.nextSetBit(0)
+          while (f >= 0) {
             var s = acc.nextElemSibling(f)
             while (s != -1) {
-              if (matchCompound(acc, s, compound)) next += s
+              if (matchCompound(acc, s, compound)) next.set(s)
               s = acc.nextElemSibling(s)
             }
+            f = frontier.nextSetBit(f + 1)
           }
       }
       frontier = next
     }
-    frontier.foreach(out.set)
+    out.or(frontier)
   }
 
-  private def childList(acc: NodeAccess, i: Int): List[Int] = {
-    var kids: List[Int] = Nil
-    var c = acc.lastChild(i)
-    while (c != -1) { kids = c :: kids; c = acc.prevSibling(c) }
-    kids
-  }
 
   /** Order a matched bitset by document order: preorder walk from each root.
     * For preorder-numbered trees this equals ascending id order, but after
@@ -195,18 +218,21 @@ object Engine {
   private def orderByDocument(acc: NodeAccess, roots: Seq[Int],
       matched: java.util.BitSet): Array[Int] = {
     if (matched.isEmpty) return Array.empty
-    val out = mutable.ArrayBuffer[Int]()
+    val total = matched.cardinality()
+    val out = new Array[Int](total)
+    var n = 0
     val emitted = new java.util.BitSet(acc.size)
+    val stack = new IntStack()
     roots.foreach { r =>
-      var stack: List[Int] = childList(acc, r)
-      while (stack.nonEmpty) {
-        val cur = stack.head
-        stack = stack.tail
-        if (matched.get(cur) && !emitted.get(cur)) { emitted.set(cur); out += cur }
-        stack = childList(acc, cur) ::: stack
+      stack.clear()
+      pushChildrenReversed(acc, r, stack)
+      while (stack.nonEmpty && n < total) {
+        val cur = stack.pop()
+        if (matched.get(cur) && !emitted.get(cur)) { emitted.set(cur); out(n) = cur; n += 1 }
+        pushChildrenReversed(acc, cur, stack)
       }
     }
-    out.toArray
+    if (n == total) out else java.util.Arrays.copyOf(out, n)
   }
 
   // --- ascending single-node matching (for `is`/`filter` and combinators
@@ -346,24 +372,24 @@ object Engine {
   }
 
   def subtreeExists(acc: NodeAccess, root: Int, pred: Int => Boolean): Boolean = {
-    var stack: List[Int] = List(root)
+    val stack = new IntStack()
+    stack.push(root)
     while (stack.nonEmpty) {
-      val cur = stack.head
-      stack = stack.tail
+      val cur = stack.pop()
       if (pred(cur)) return true
-      stack = childList(acc, cur) ::: stack
+      pushChildrenReversed(acc, cur, stack)
     }
     false
   }
 
   def subtreeText(acc: NodeAccess, root: Int): String = {
     val sb = new java.lang.StringBuilder
-    var stack: List[Int] = List(root)
+    val stack = new IntStack()
+    stack.push(root)
     while (stack.nonEmpty) {
-      val cur = stack.head
-      stack = stack.tail
+      val cur = stack.pop()
       if (acc.isText(cur) && acc.text(cur) != null) sb.append(acc.text(cur))
-      stack = childList(acc, cur) ::: stack
+      pushChildrenReversed(acc, cur, stack)
     }
     sb.toString
   }

@@ -148,6 +148,49 @@ case class DomText(left: Expression, right: Expression, immediate: Boolean = fal
     copy(left = l, right = r)
 }
 
+/** `dom_text_each(nodes, ids)` → ARRAY<STRING>: subtree text per id (batched
+  * X6 — lets a whole selection be extracted in one projection and exploded
+  * WITHOUT duplicating the nodes array per output row). */
+case class DomTextEach(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(nodes: Any, ids: Any): Any = {
+    val acc = new ArrayDataAccess(nodes.asInstanceOf[ArrayData])
+    val idArr = ids.asInstanceOf[ArrayData]
+    val out = new Array[Any](idArr.numElements())
+    var i = 0
+    while (i < out.length) {
+      out(i) = UTF8String.fromString(Engine.subtreeText(acc, idArr.getInt(i)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override def prettyName: String = "dom_text_each"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** `dom_attr_each(nodes, ids, 'key')` → ARRAY<STRING>: attr per id (batched X1). */
+case class DomAttrEach(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullSafeEval(nodes: Any, ids: Any, key: Any): Any = {
+    val acc = new ArrayDataAccess(nodes.asInstanceOf[ArrayData])
+    val idArr = ids.asInstanceOf[ArrayData]
+    val k = key.asInstanceOf[UTF8String]
+    val out = new Array[Any](idArr.numElements())
+    var i = 0
+    while (i < out.length) {
+      out(i) = acc.attrU(idArr.getInt(i), k)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override def prettyName: String = "dom_attr_each"
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
+    copy(first = f, second = s, third = t)
+}
+
 /** `dom_attr(nodes, ids, 'key')` → attr of FIRST id, null if absent (X1). */
 case class DomAttr(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with CodegenFallback {

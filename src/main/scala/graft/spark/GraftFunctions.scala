@@ -38,6 +38,8 @@ object GraftFunctions {
     add("dom_text")(es => DomText(es(0), es(1)))
     add("dom_immediate_text")(es => DomText(es(0), es(1), immediate = true))
     add("dom_attr")(es => DomAttr(es(0), es(1), es(2)))
+    add("dom_text_each")(es => DomTextEach(es(0), es(1)))
+    add("dom_attr_each")(es => DomAttrEach(es(0), es(1), es(2)))
     add("dom_html")(es => DomHtml(es(0), es(1), es(2)))
     add("dom_formatted_text")(es => DomFormattedText(es(0), es(1)))
     add("dom_md")(es => DomMd(es(0), es(1)))
@@ -80,6 +82,10 @@ object GraftFunctions {
     call_function("dom_immediate_text", nodes, ids)
   def dom_attr(nodes: Column, ids: Column, key: String): Column =
     call_function("dom_attr", nodes, ids, lit(key))
+  def dom_text_each(nodes: Column, ids: Column): Column =
+    call_function("dom_text_each", nodes, ids)
+  def dom_attr_each(nodes: Column, ids: Column, key: String): Column =
+    call_function("dom_attr_each", nodes, ids, lit(key))
   def dom_html(nodes: Column, ids: Column, includeRoot: Boolean = true): Column =
     call_function("dom_html", nodes, ids, lit(includeRoot))
   def dom_formatted_text(nodes: Column, ids: Column): Column =

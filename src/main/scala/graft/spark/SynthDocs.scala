@@ -80,6 +80,40 @@ object SynthDocs {
       lit("</table></body></html>")
     )
 
+  /** Multi-story hacker_news-like pages: `storiesPerPage` athing rows per
+    * document (the reference's bench page has ~30 stories) — one doc per
+    * orderkey-range group, rows ordered by orderkey for determinism. */
+  def hnBigDocs(spark: SparkSession, sfDir: String, storiesPerPage: Int = 25): DataFrame = {
+    GraftFunctions.register(spark)
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .repartition(spark.sparkContext.defaultParallelism * 2)
+    val rows = orders.select(
+      (col("o_orderkey") / storiesPerPage).cast("long").as("page_id"),
+      col("o_orderkey"),
+      concat(
+        lit("<tr class=\"athing\" id=\""), col("o_orderkey"), lit("\">"),
+        lit("<td class=\"title\"><a href=\"item?id="), col("o_orderkey"),
+        lit("\" id=\"link-"), col("o_orderkey"),
+        lit("\" class=\"storylink\">Order "), col("o_orderkey"),
+        lit(" ["), col("o_orderpriority"), lit("]</a>"),
+        lit("<span class=\"sitebit\"><a href=\"https://cust-"), col("o_custkey"),
+        lit(".example/\">cust-"), col("o_custkey"), lit(".example</a></span></td></tr>"),
+        lit("<tr><td class=\"subtext\"><span class=\"score\">"),
+        (col("o_custkey") % 500) + 1, lit(" points</span></td></tr>")).as("row_html"))
+    rows.groupBy("page_id")
+      .agg(concat_ws("",
+        sort_array(collect_list(struct(col("o_orderkey"), col("row_html"))))
+          .getField("row_html")).as("rows_html"))
+      .select(
+        col("page_id").cast("string").as("doc_id"),
+        concat(
+          lit("<html><head><title>News</title><base href=\"https://news.example/\">"),
+          lit("</head><body><table class=\"itemlist\">"),
+          col("rows_html"),
+          lit("</table></body></html>")).as("html"))
+      .withColumn("nodes", GraftFunctions.parse_html(col("html")))
+  }
+
   def hnDocs(spark: SparkSession, sfDir: String): DataFrame = {
     GraftFunctions.register(spark)
     // see partDocs: parallelize the parse stage past the single-file scan
