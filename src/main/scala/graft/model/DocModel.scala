@@ -212,9 +212,9 @@ final class Arena {
     count
   }
 
-  /** Finalize to the immutable record array with derived structural columns. */
-  def toRecs: Array[NodeRec] = {
-    val n = nodes.length
+  /** Derived structural columns, computed in one pass (shared by the
+    * record materializer and the direct Catalyst converter). */
+  final class Derived(n: Int) {
     val depth = Array.fill(n)(-1)
     val subtreeEnd = Array.tabulate(n)(identity)
     val elemPos = new Array[Int](n)
@@ -223,6 +223,12 @@ final class Arena {
     val nElemChildren = new Array[Int](n)
     val prevElem = Array.fill(n)(-1)
     val nextElem = Array.fill(n)(-1)
+  }
+
+  def computeDerived: Derived = {
+    val n = nodes.length
+    val d = new Derived(n)
+    import d._
 
     // depth + subtree_end over every attached tree (root 0 plus any template
     // fragments referenced via templateContents; detached nodes keep -1).
@@ -279,7 +285,14 @@ final class Arena {
         typePos(k) = c
       }
     }
+    d
+  }
 
+  /** Finalize to the immutable record array with derived structural columns. */
+  def toRecs: Array[NodeRec] = {
+    val n = nodes.length
+    val d = computeDerived
+    import d._
     Array.tabulate(n) { i =>
       val nd = nodes(i)
       NodeRec(

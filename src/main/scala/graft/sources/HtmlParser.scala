@@ -110,20 +110,19 @@ object HtmlParser {
           i = next
           tok match {
             case TStart(name, _, false) if RawTextElements(name) || RcdataElements(name) =>
-              // consume raw text until matching close tag
-              val closeRe = ("(?i)</" + java.util.regex.Pattern.quote(name) + "[\\s>/]").r
-              val rest = html.substring(i)
-              val m = closeRe.findFirstMatchIn(rest)
-              val rawEnd = m.map(_.start).getOrElse(rest.length)
-              val raw = rest.substring(0, rawEnd)
+              // consume raw text until the matching close tag — manual
+              // case-insensitive scan (a compiled regex per element instance
+              // dominated tokenizer cost)
+              val rawEnd = findCloseTag(html, i, name)
+              val stop = if (rawEnd == -1) n else rawEnd
+              val raw = html.substring(i, stop)
               val content = if (RcdataElements(name)) Entities.decode(raw) else raw
               if (content.nonEmpty) toks += TText(content)
-              // skip past the close tag
-              if (m.isDefined) {
-                val gt = rest.indexOf('>', rawEnd)
+              if (rawEnd != -1) {
+                val gt = html.indexOf('>', rawEnd)
                 toks += TEnd(name)
-                i += (if (gt == -1) rest.length else gt + 1)
-              } else i += rest.length
+                i = if (gt == -1) n else gt + 1
+              } else i = n
             case _ =>
           }
         } else { text.append(c); i += 1 }
@@ -131,6 +130,26 @@ object HtmlParser {
     }
     flushText()
     toks.toList
+  }
+
+  /** Index of `</name` (case-insensitive, followed by ws/>//) at or after
+    * `from`; -1 if absent. */
+  private def findCloseTag(html: String, from: Int, name: String): Int = {
+    val n = html.length
+    var i = from
+    while (true) {
+      i = html.indexOf('<', i)
+      if (i == -1 || i + 1 >= n) return -1
+      if (html.charAt(i + 1) == '/' &&
+          html.regionMatches(true, i + 2, name, 0, name.length)) {
+        val after = i + 2 + name.length
+        if (after >= n) return i
+        val c = html.charAt(after)
+        if (c == '>' || c == '/' || Character.isWhitespace(c)) return i
+      }
+      i += 1
+    }
+    -1
   }
 
   private def parseDoctype(body: String): TDoctype = {
@@ -544,7 +563,30 @@ object HtmlParser {
  * `subtree_end` a contiguous range (SURVEY.md §2.4 T4).
  */
 object Renumber {
+  /** Is arena id order already preorder? True for almost every fresh parse
+    * (nodes are appended while descending) — skipping the rebuild then. */
+  def isPreorder(a: Arena): Boolean = {
+    if (a.size == 0) return false
+    var expected = 0
+    val stack = new Array[Int](a.size)
+    var top = 0
+    stack(top) = 0; top += 1
+    while (top > 0) {
+      top -= 1
+      val cur = stack(top)
+      if (cur != expected) return false
+      expected += 1
+      // children (and template contents first) in reverse push order
+      var c = a(cur).lastChild
+      while (c != -1) { stack(top) = c; top += 1; c = a(c).prev }
+      val tc = a(cur).templateContents
+      if (tc != -1) { stack(top) = tc; top += 1 }
+    }
+    expected == a.size
+  }
+
   def preorder(a: Arena): Arena = {
+    if (isPreorder(a)) return a
     val order = mutable.ArrayBuffer[Int]()
     val pos = mutable.HashMap[Int, Int]()
     def visit(id: Int): Unit = {

@@ -42,8 +42,10 @@ case class ParseHtml(child: Expression, fragment: Boolean)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = NodeSchema.nodesArrayType
   override def nullSafeEval(html: Any): Any = {
-    val recs = HtmlParser.parseToRecs(html.toString, fragment)
-    NodeSchema.recsToArrayData(recs)
+    val arena0 =
+      if (fragment) HtmlParser.parseFragment(html.toString)
+      else HtmlParser.parseDocument(html.toString)
+    NodeSchema.arenaToArrayData(graft.sources.Renumber.preorder(arena0))
   }
   override def prettyName: String = if (fragment) "parse_fragment" else "parse_html"
   override protected def withNewChildInternal(c: Expression): ParseHtml = copy(child = c)

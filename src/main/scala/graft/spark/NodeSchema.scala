@@ -57,6 +57,56 @@ object NodeSchema {
   final val SUBTREE_END = 13
   final val N_FIELDS = 20
 
+  /** Direct Arena → Catalyst conversion (the parse hot path): computes the
+    * derived columns and emits InternalRows without materializing NodeRec
+    * objects (VectorMaps and Seq wrappers were half the ingest allocation). */
+  def arenaToArrayData(a: graft.model.Arena): GenericArrayData = {
+    val n = a.size
+    val d = a.computeDerived
+    val rows = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val nd = a(i)
+      val vals = new Array[Any](N_FIELDS)
+      vals(KIND) = UTF8String.fromString(nd.kind)
+      vals(NAME) = if (nd.name == null) null else UTF8String.fromString(nd.name)
+      vals(ATTRS) =
+        if (nd.attrs == null) null
+        else {
+          val sz = nd.attrs.size
+          val ks = new Array[Any](sz)
+          val vs = new Array[Any](sz)
+          var j = 0
+          nd.attrs.foreach { case (k, v) =>
+            ks(j) = UTF8String.fromString(k); vs(j) = UTF8String.fromString(v); j += 1
+          }
+          new ArrayBasedMapData(new GenericArrayData(ks), new GenericArrayData(vs))
+        }
+      vals(CLASS_LIST) =
+        if (!nd.isElement) null
+        else new GenericArrayData(nd.classList.map(c => UTF8String.fromString(c)).toArray[Any])
+      vals(TEXT) = if (nd.text == null) null else UTF8String.fromString(nd.text)
+      vals(MEDIA_REF) = if (nd.mediaRef == null) null else UTF8String.fromString(nd.mediaRef)
+      vals(PARENT) = nd.parent
+      vals(PREV_SIBLING) = nd.prev
+      vals(NEXT_SIBLING) = nd.next
+      vals(FIRST_CHILD) = nd.firstChild
+      vals(LAST_CHILD) = nd.lastChild
+      vals(TEMPLATE_CONTENTS) = nd.templateContents
+      vals(DEPTH) = d.depth(i)
+      vals(SUBTREE_END) = d.subtreeEnd(i)
+      vals(14) = d.elemPos(i)
+      vals(15) = d.elemPosEnd(i)
+      vals(16) = d.typePos(i)
+      vals(17) = d.nElemChildren(i)
+      vals(18) = d.prevElem(i)
+      vals(19) = d.nextElem(i)
+      rows(i) = InternalRow.fromSeq(vals.toSeq)
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
   /** Convert engine records to Catalyst values (for ParseHtml & friends). */
   def recsToArrayData(recs: Array[NodeRec]): GenericArrayData = {
     val rows = new Array[Any](recs.length)
