@@ -107,19 +107,26 @@ object Bench {
     val prep = session(cpus)
     val nUrls = try materializeInputs(prep, sfDir, mult, benchDir) finally prep.stop()
 
-    def scalingRun(n: Int, runs: Int): Double = {
+    // interleaved passes: host capacity drifts over minutes, so measuring
+    // each N in one contiguous window biases whichever N hit a bad window —
+    // alternate N across passes and take the per-N minimum
+    def oneRun(n: Int, warm: Boolean): Double = {
       val s = session(n)
       try {
-        frontierRun(s, benchDir) // warmup (JIT + listing)
-        (1 to runs).map(_ => frontierRun(s, benchDir)).min
+        if (warm) frontierRun(s, benchDir) // JIT warmup (JVM-wide, pass 1 only)
+        frontierRun(s, benchDir)
       } finally {
         s.stop()
         System.gc() // don't hand the next session a dirty heap
       }
     }
-    val secs2 = scalingRun(2, 3)
-    val secs8 = scalingRun(8, 3)
-    val secs32 = scalingRun(32, 2)
+    val ns = Seq(2, 8, 32)
+    val best = scala.collection.mutable.Map[Int, Double]().withDefaultValue(Double.MaxValue)
+    for (pass <- 1 to 2; n <- ns) {
+      val t = oneRun(n, warm = pass == 1 && n == ns.head)
+      if (t < best(n)) best(n) = t
+    }
+    val (secs2, secs8, secs32) = (best(2), best(8), best(32))
     val (thr2, thr8, thr32) = (nUrls / secs2, nUrls / secs8, nUrls / secs32)
     val eff = (thr8 / thr2) / 4.0
 
