@@ -237,6 +237,41 @@ class MutationSpec extends AnyFunSuite {
     ok(dst)
   }
 
+  test("insert_siblings before/after splice whole chains (M5, ops.rs:302-321)") {
+    val doc = Doc.parse(REPLACEMENT)
+    val origin = doc.select("#origin").ids.head
+    // build a detached chain s1 -> s2
+    val s1 = doc.arena.createElement("span", Seq("id" -> "s1"))
+    val s2 = doc.arena.createElement("span", Seq("id" -> "s2"))
+    doc.arena(s1).next = s2
+    doc.arena(s2).prev = s1
+    TreeOps.insertSiblingsBefore(doc.arena, origin, s1)
+    assert(doc.select("#s1 + #s2 + #origin").exists)
+    ok(doc)
+    val doc2 = Doc.parse(REPLACEMENT)
+    val origin2 = doc2.select("#origin").ids.head
+    val t1 = doc2.arena.createElement("span", Seq("id" -> "t1"))
+    val t2 = doc2.arena.createElement("span", Seq("id" -> "t2"))
+    doc2.arena(t1).next = t2
+    doc2.arena(t2).prev = t1
+    TreeOps.insertSiblingsAfter(doc2.arena, origin2, t1)
+    assert(doc2.select("#origin + #t1 + #t2").exists)
+    ok(doc2)
+  }
+
+  test("to_fragment clones a standalone subtree (C3, node_ref.rs:743-767)") {
+    val doc = Doc.parse(REPLACEMENT)
+    val origin = doc.select("#origin").ids.head
+    val frag = TreeOps.toFragment(doc.arena, origin)
+    assert(TreeOps.validate(frag).isEmpty)
+    val fragDoc = new Doc(frag)
+    assert(fragDoc.select("#inline").length == 1)
+    assert(fragDoc.arena.textOf(0) == "Something")
+    // source untouched
+    assert(doc.select("#origin #inline").exists)
+    ok(doc)
+  }
+
   test("template contents survive parse + serialize (document.rs:322-352)") {
     val doc = Doc.parse("""<div id="m"><template id="tpl"><p>inside</p></template></div>""")
     val tpl = doc.select("#tpl")

@@ -119,6 +119,30 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("structured streaming: dom expressions run inside a streaming plan") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.spark.{GraftFunctions => F}
+    F.register(spark)
+    val schema = spark.read.parquet(s"$sf/orders.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "orders.parquet").parquet(sf)
+      .select(col("o_orderkey").cast("string").as("doc_id"),
+        graft.spark.SynthDocs.hnHtml(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_orderpriority")).as("html"))
+      .withColumn("nodes", F.parse_html(col("html")))
+      .select(col("doc_id"),
+        F.dom_attr(col("nodes"),
+          F.css_select(col("nodes"), "tr.athing .title a.storylink"), "href").as("href"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("stream_links")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.sql("SELECT * FROM stream_links")
+    val total = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(out.count() == total)
+    assert(out.filter(col("href").startsWith("item?id=")).count() == total)
+  }
+
   test("structured streaming: events stream through windowed aggregation") {
     import org.apache.spark.sql.streaming.Trigger
     val schema = spark.read.parquet(s"$sf/events.parquet").schema

@@ -74,6 +74,43 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("rangepartitioning"), p)
   }
 
+  test("bucketed tables co-locate the seen join: zero exchanges in the join plan") {
+    import spark.implicits._
+    // the 100 TB lever for the recurring frontier-vs-seen join: both sides
+    // bucketed by url at write time → the per-round anti-join needs no
+    // shuffle at all
+    val frontier = (0 until 500)
+      .map(i => (s"https://h${i % 5}.ex/p/$i", i % 5)).toDF("url", "priority")
+    val seen = (0 until 500 by 3).map(i => s"https://h${i % 5}.ex/p/$i").toDF("url")
+    spark.sql("DROP TABLE IF EXISTS bkt_frontier")
+    spark.sql("DROP TABLE IF EXISTS bkt_seen")
+    // the in-memory catalog forgets tables across sessions but the managed
+    // locations persist — clear them or saveAsTable refuses
+    Seq("bkt_frontier", "bkt_seen").foreach { t =>
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
+    frontier.write.bucketBy(8, "url").sortBy("url").saveAsTable("bkt_frontier")
+    seen.write.bucketBy(8, "url").sortBy("url").saveAsTable("bkt_seen")
+    // at test scale the planner prefers broadcast; disable it so the plan
+    // shows what happens at 10^10 rows where broadcast is impossible
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_frontier")
+        .join(spark.table("bkt_seen"), Seq("url"), "left_anti")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+      assert(p.contains("Bucketed: true"), p)
+      assert(joined.count() == (0 until 500).count(i => i % 3 != 0))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("politeness window is two-phase (salted partial then exact per-host)") {
     import spark.implicits._
     val unseen = (0 until 1000)
