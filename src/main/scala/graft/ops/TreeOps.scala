@@ -153,17 +153,19 @@ object TreeOps {
 
   /** Merge a parsed fragment into `a`, offset-adjusting ids
     * (≡ `TreeNodeOps::merge_with_fn` + `TreeNode::adjust`,
-    * `ops.rs:443-476`, `inner.rs:40-56`). Returns the ids of the fragment
-    * root's top-level children, in order. */
+    * `ops.rs:443-476`, `inner.rs:40-56`): the fragment's 3 scaffold nodes
+    * (root, html, stray body — `ops.rs:16`) are skipped; ids shift by
+    * `target_len - 3`. Returns the content top-level ids (the scaffold
+    * html's children), in order. */
   def mergeFragment(a: Arena, frag: Arena): List[Int] = {
     val offset = a.size
-    // copy all fragment nodes except the fragment root (id 0)
-    def adjust(x: Int): Int = if (x <= 0) -1 else x - 1 + offset
-    val tops = frag.childIds(0).map(adjust)
-    (1 until frag.size).foreach { i =>
+    val skip = 3 // root(0), html(1), stray body(2)
+    def adjust(x: Int): Int = if (x < skip) -1 else x - skip + offset
+    val tops = frag.childIds(1).map(adjust)
+    (skip until frag.size).foreach { i =>
       val src = frag(i)
       val m = src.deepCopyShallow()
-      m.parent = if (src.parent == 0) -1 else adjust(src.parent)
+      m.parent = if (src.parent == 1) -1 else adjust(src.parent)
       m.prev = adjust(src.prev)
       m.next = adjust(src.next)
       m.firstChild = adjust(src.firstChild)

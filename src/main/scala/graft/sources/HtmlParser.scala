@@ -254,6 +254,18 @@ object HtmlParser {
 
     // open element stack: (arenaId, tagName); root is a pseudo entry
     var stack = List[(Int, String)]((0, "#root"))
+    if (fragment) {
+      // html5ever fragment layout (reference merge skips exactly these 3
+      // scaffold nodes: root, stray body, html — ops.rs:443-452): content
+      // lives under an <html> element child of the Fragment root, and a
+      // detached body occupies arena id 2
+      val htmlEl = arena.createElement("html") // id 1
+      val p = arena(0)
+      arena(htmlEl).parent = 0
+      p.firstChild = htmlEl; p.lastChild = htmlEl
+      arena.createElement("body") // id 2, detached
+      stack = (htmlEl, "#fragment-html") :: stack
+    }
     var htmlId = -1
     var headId = -1
     var bodyId = -1
@@ -459,6 +471,15 @@ object HtmlParser {
 
       case TStart(name, attrs, selfClosing) =>
         name match {
+          case "html" if fragment =>
+            // merge attrs into the scaffold html (spec: unexpected html tag)
+            attrs.foreach { case (k, v) =>
+              val h = arena(1)
+              if (!h.attrs.contains(k)) h.attrs(k) = v
+            }
+          case "head" | "body" if fragment =>
+            // ignored in a body-context fragment; content flows through
+            ()
           case "html" if !fragment =>
             if (htmlId == -1) {
               htmlId = arena.createElement("html", attrs)

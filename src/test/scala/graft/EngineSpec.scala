@@ -367,6 +367,25 @@ class EngineSpec extends AnyFunSuite {
     assert(walked.sorted == inRange.toList)
   }
 
+  test("document/fragment roots + doctype handling (tests/parsing.rs)") {
+    val doc = Doc.parse(HEADING)
+    assert(doc.arena(0).kind == "document")
+    // document keeps the doctype as its first child (parsing.rs:14-20)
+    assert(doc.arena(doc.arena(0).firstChild).kind == "doctype")
+    // no doctype in source → no doctype node (parsing.rs:23-41)
+    val noDt = Doc.parse("\n    <html>\n        <head><title>T</title></head>\n        <body><p>x</p></body>\n    </html>")
+    assert(noDt.arena(noDt.arena(0).firstChild).kind != "doctype")
+    // fragments drop the doctype; root is a Fragment whose first child is
+    // the scaffold <html> element (parsing.rs:44-53)
+    val frag = Doc.fragment(HEADING)
+    assert(frag.arena(0).kind == "fragment")
+    val fc = frag.arena(0).firstChild
+    assert(frag.arena(fc).kind != "doctype")
+    assert(frag.arena(fc).name == "html")
+    // content selectable through the scaffold
+    assert(frag.select("h1").text == "Test Page")
+  }
+
   test("structural validation oracle on fresh parses (C4)") {
     Seq(ANCESTORS, LIST, HEADING, LINKS, SIMPLE_LIST, EMPTY_HEADINGS, ATTRS, README_PAGE)
       .foreach { html => assert(Doc.parse(html).validate.isEmpty) }
