@@ -282,6 +282,23 @@ class MutationSpec extends AnyFunSuite {
     ok(doc)
   }
 
+  test("inject templates via append_html (selection-manipulation.rs:471-543)") {
+    def squash(s: String) = s.replaceAll("\\s+", "")
+    val doc = Doc.parse("<!doctype html>\n    <html>\n        <head></head>\n        <body></body>\n    </html>")
+    doc.select("body").appendHtml(
+      "<button>X</button>\n    <template></template>\n    <script></script>")
+    assert(squash(doc.html) == squash(
+      "<!DOCTYPE html><html><head></head><body><button>X</button><template></template><script></script></body></html>"))
+    ok(doc)
+
+    val doc2 = Doc.parse("<!DOCTYPE html>\n    <html>\n      <head></head>\n      <body>\n        <p>before</p>\n      </body>\n    </html>")
+    doc2.select("body").appendHtml(
+      "<template>\n        <p>inside</p>\n    </template>\n    <p>after</p>\n    ")
+    assert(squash(doc2.html) == squash(
+      "<!DOCTYPE html><html><head></head><body><p>before</p><template><p>inside</p></template><p>after</p></body></html>"))
+    ok(doc2)
+  }
+
   test("id stability: removal never reclaims slots (ops.rs:350-383)") {
     val doc = Doc.parse(REPLACEMENT)
     val before = doc.arena.size
