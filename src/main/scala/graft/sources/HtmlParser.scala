@@ -63,7 +63,13 @@ object HtmlParser {
 
     while (i < n) {
       val c = html.charAt(i)
-      if (c == '<' && i + 1 < n) {
+      if (c != '<') {
+        // bulk text scan to the next tag open (char-by-char dominated here)
+        val next = html.indexOf('<', i)
+        val stop = if (next == -1) n else next
+        text.append(html, i, stop)
+        i = stop
+      } else if (c == '<' && i + 1 < n) {
         val c1 = html.charAt(i + 1)
         if (c1 == '!') {
           if (html.regionMatches(i + 2, "--", 0, 2)) {

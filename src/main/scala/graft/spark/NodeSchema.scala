@@ -101,7 +101,8 @@ object NodeSchema {
       vals(17) = d.nElemChildren(i)
       vals(18) = d.prevElem(i)
       vals(19) = d.nextElem(i)
-      rows(i) = InternalRow.fromSeq(vals.toSeq)
+      // GenericInternalRow wraps the array without copying (fromSeq copies)
+      rows(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
       i += 1
     }
     new GenericArrayData(rows)
