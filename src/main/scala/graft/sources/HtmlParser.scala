@@ -535,12 +535,14 @@ object HtmlParser {
               tableFixups(name)
               val id = arena.createElement(name, attrs)
               link(curParent, id)
+              // foreign content (svg/math subtrees) honors the self-closing
+              // flag; HTML elements ignore it per spec
+              val inForeign = stack.exists(e => e._2 == "svg" || e._2 == "math")
               if (name == "template") {
                 val frag = arena.create(new MutNode(NodeKind.Fragment))
                 arena(id).templateContents = frag
                 stack = (frag, "template") :: stack
-              } else if (!VoidElements(name)) {
-                // HTML spec: self-closing flag is ignored on non-void HTML elements
+              } else if (!VoidElements(name) && !(selfClosing && inForeign)) {
                 stack = (id, name) :: stack
               }
             }

@@ -282,6 +282,35 @@ class MutationSpec extends AnyFunSuite {
     ok(doc)
   }
 
+  test("set_html with empty string clears children (node-manipulation.rs:798-806)") {
+    val doc = Doc.parse("""<div id="main"><p>a</p><p>b</p></div>""")
+    val main = doc.select("#main").ids.head
+    TreeOps.setHtml(doc.arena, main, "")
+    assert(doc.select("#main").length == 1)
+    assert(doc.select("#main").children.length == 0)
+    ok(doc)
+  }
+
+  test("prepend meta into head; void serialization (node-manipulation.rs:821-845)") {
+    val doc = Doc.parse("<!DOCTYPE html>\n<html>\n    <head>\n        <title>Test</title>\n    </head>\n    <body>\n    </body>\n</html>\n")
+    val head = doc.head.ids.head
+    val meta = doc.arena.createElement("meta",
+      Seq("name" -> "viewport", "content" -> "width=1120"))
+    TreeOps.prependChild(doc.arena, head, meta)
+    val actual = doc.html
+    assert(actual.contains("""<meta name="viewport" content="width=1120">"""))
+    assert(!actual.contains("</meta>"))
+    ok(doc)
+  }
+
+  test("svg foreign content honors self-closing (node-manipulation.rs test_add_svg)") {
+    val doc = Doc.parse("""<svg><circle cx="50" cy="50" r="40"/><rect width="5"/></svg>""")
+    val svg = doc.select("svg").ids.head
+    val kids = doc.arena.childIds(svg).filter(doc.arena(_).isElement)
+    assert(kids.map(doc.arena(_).name) == List("circle", "rect")) // siblings, not nested
+    ok(doc)
+  }
+
   test("inject templates via append_html (selection-manipulation.rs:471-543)") {
     def squash(s: String) = s.replaceAll("\\s+", "")
     val doc = Doc.parse("<!doctype html>\n    <html>\n        <head></head>\n        <body></body>\n    </html>")
