@@ -306,6 +306,20 @@ object SparkEntry {
     "q_text_analysis" -> ((s, dir) =>
       TextPipeline.textAnalysis(TextPipeline.documents(s, dir)).orderBy("doc_id")),
 
+    // quality filtering: the scoring components applied as a corpus filter,
+    // reported per source (what a training-data pipeline actually does)
+    "q_quality_filter" -> ((s, dir) => {
+      val docs = TextPipeline.documents(s, dir)
+      val scored = TextPipeline.textAnalysis(docs)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      scored
+        .filter(col("n_tokens") >= 20 && col("n_stopwords") >= 1 &&
+          col("long_word_pct") >= 30)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("source")
+    }),
+
     "q_dedup_exact" -> ((s, dir) =>
       TextPipeline.exactDedup(
         TextPipeline.withSyntheticDups(TextPipeline.documents(s, dir)))
@@ -657,6 +671,20 @@ object SparkEntry {
                        // len(${dTokens("text")}) END as bigint) AS long_word_pct,
              ${dFingerprint("text")} AS fingerprint
            FROM documents ORDER BY doc_id""",
+      "q_quality_filter" ->
+        s"""WITH scored AS (
+              SELECT doc_id, source,
+                     len(${dTokens("text")}) AS n_tokens,
+                     len(list_filter(${dTokens("text")}, w -> list_contains($stopArr, w)))
+                       AS n_stopwords,
+                     CASE WHEN len(${dTokens("text")}) = 0 THEN 0
+                          ELSE (len(list_filter(${dTokens("text")}, w -> length(w) >= 4)) * 100)
+                               // len(${dTokens("text")}) END AS long_word_pct
+              FROM documents)
+            SELECT source, cast(count(*) as bigint) AS n_kept
+            FROM scored
+            WHERE n_tokens >= 20 AND n_stopwords >= 1 AND long_word_pct >= 30
+            GROUP BY source ORDER BY source""",
       "q_dedup_exact" ->
         s"""WITH $dCorpus,
             g AS (SELECT regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm,
