@@ -113,6 +113,12 @@ final class MutNode(
 final class Arena {
   val nodes = new mutable.ArrayBuffer[MutNode]()
 
+  /** Parse errors recorded by the tree builder (reference `Document.errors`,
+    * `src/document.rs:22-32`); empty for programmatically-built arenas. */
+  var errors: List[String] = Nil
+  /** no-quirks | quirks | limited-quirks (reference `Document.quirks_mode`). */
+  var quirksMode: String = "no-quirks"
+
   def apply(id: Int): MutNode = nodes(id)
   def size: Int = nodes.length
   def isValidId(id: Int): Boolean = id >= 0 && id < nodes.length

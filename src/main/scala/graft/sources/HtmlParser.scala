@@ -243,6 +243,62 @@ object HtmlParser {
 
   // --- Tree builder --------------------------------------------------------
 
+  /** Formatting elements subject to the adoption agency algorithm
+    * (HTML5 "active formatting elements"; html5ever gives the reference the
+    * full algorithm via `Document::from`, `/root/reference/src/document.rs:44-55`). */
+  val FormattingTags: Set[String] = Set(
+    "a", "b", "big", "code", "em", "font", "i", "nobr", "s", "small",
+    "strike", "strong", "tt", "u")
+
+  /** The HTML5 "special" element category (stops "any other end tag" walks
+    * and defines the adoption agency furthest block). */
+  private val Special: Set[String] = Set(
+    "address", "applet", "area", "article", "aside", "base", "basefont",
+    "bgsound", "blockquote", "body", "br", "button", "caption", "center",
+    "col", "colgroup", "dd", "details", "dir", "div", "dl", "dt", "embed",
+    "fieldset", "figcaption", "figure", "footer", "form", "frame", "frameset",
+    "h1", "h2", "h3", "h4", "h5", "h6", "head", "header", "hgroup", "hr",
+    "html", "iframe", "img", "input", "keygen", "li", "link", "listing",
+    "main", "marquee", "menu", "meta", "nav", "noembed", "noframes",
+    "noscript", "object", "ol", "p", "param", "plaintext", "pre", "script",
+    "search", "section", "select", "source", "style", "summary", "table",
+    "tbody", "td", "template", "textarea", "tfoot", "th", "thead", "title",
+    "tr", "track", "ul", "wbr", "xmp", "#root", "#fragment-html")
+
+  /** Elements whose stack entries bound the default scope. */
+  private val BaseScopeStops: Set[String] = Set(
+    "applet", "caption", "html", "table", "td", "th", "marquee", "object",
+    "template", "#root", "#fragment-html")
+
+  private val TableScopeStops: Set[String] =
+    Set("html", "table", "template", "#root", "#fragment-html")
+
+  /** AFE marker elements: entering one pushes a marker; popping one clears
+    * the active formatting list back to the marker. */
+  private val MarkerTags: Set[String] =
+    Set("applet", "caption", "marquee", "object", "template", "td", "th")
+
+  private val ImpliedEnd: Set[String] =
+    Set("dd", "dt", "li", "optgroup", "option", "p", "rb", "rp", "rt", "rtc")
+
+  /** Block end tags with default-scope close semantics. */
+  private val BlockEnd: Set[String] = Set(
+    "address", "article", "aside", "blockquote", "button", "center",
+    "details", "dialog", "dir", "div", "dl", "fieldset", "figcaption",
+    "figure", "footer", "header", "hgroup", "listing", "main", "menu",
+    "nav", "ol", "pre", "section", "summary", "ul")
+
+  private val Headings: Set[String] = Set("h1", "h2", "h3", "h4", "h5", "h6")
+
+  /** Start tags legal directly inside table/section/row context (anything
+    * else is foster-parented before the table, per HTML5 "in table"). */
+  private val TableLegal: Set[String] = Set(
+    "caption", "colgroup", "col", "tbody", "tfoot", "thead", "tr", "td",
+    "th", "script", "style", "template", "form")
+
+  private val TableContext: Set[String] =
+    Set("table", "tbody", "tfoot", "thead", "tr")
+
   /** Parse a full document: root = Document node at id 0 (`tree.rs:126-128`). */
   def parseDocument(html: String): Arena = build(html, fragment = false)
 
@@ -252,245 +308,559 @@ object HtmlParser {
     * scaffolding, which the reference's merge also skips — `ops.rs:443-452`). */
   def parseFragment(html: String): Arena = build(html, fragment = true)
 
-  private def build(html: String, fragment: Boolean): Arena = {
-    val arena = new Arena
-    val rootKind = if (fragment) NodeKind.Fragment else NodeKind.Document
-    arena.create(new MutNode(rootKind))
-    val toks = tokenize(html)
+  private def build(html: String, fragment: Boolean): Arena =
+    new TreeBuilder(html, fragment).run()
 
-    // open element stack: (arenaId, tagName); root is a pseudo entry
-    var stack = List[(Int, String)]((0, "#root"))
-    if (fragment) {
-      // html5ever fragment layout (reference merge skips exactly these 3
-      // scaffold nodes: root, stray body, html — ops.rs:443-452): content
-      // lives under an <html> element child of the Fragment root, and a
-      // detached body occupies arena id 2
-      val htmlEl = arena.createElement("html") // id 1
-      val p = arena(0)
-      arena(htmlEl).parent = 0
-      p.firstChild = htmlEl; p.lastChild = htmlEl
-      arena.createElement("body") // id 2, detached
-      stack = (htmlEl, "#fragment-html") :: stack
+  /** Quirks-mode determination from the doctype (html5ever `QuirksMode`;
+    * reference surfaces it as `Document.quirks_mode`, `document.rs:22-32`). */
+  private[sources] def quirksFor(sawDoctype: Boolean, name: String,
+      publicId: String, systemId: String): String = {
+    if (!sawDoctype) return "quirks"
+    val pub = publicId.toLowerCase
+    val quirkyPubPrefixes = List(
+      "+//silmaril//", "-//advasoft ltd//", "-//as//", "-//ietf//dtd html",
+      "-//microsoft//", "-//netscape comm. corp.//", "-//o'reilly and associates//",
+      "-//softquad//", "-//spyglass//", "-//sun microsystems corp.//",
+      "-//w3c//dtd html 3", "-//w3c//dtd html 4.0 frameset//",
+      "-//w3c//dtd html 4.0 transitional//", "-//w3c//dtd w3 html//",
+      "-//w3o//dtd w3 html//", "-//webtechs//")
+    if (name != "html") "quirks"
+    else if (pub == "-//w3o//dtd w3 html strict 3.0//en//" ||
+      pub == "-/w3c/dtd html 4.0 transitional/en" || pub == "html" ||
+      systemId.equalsIgnoreCase("http://www.ibm.com/data/dtd/v11/ibmxhtml1-transitional.dtd") ||
+      quirkyPubPrefixes.exists(pub.startsWith) ||
+      (systemId.isEmpty && (pub.startsWith("-//w3c//dtd html 4.01 frameset//") ||
+        pub.startsWith("-//w3c//dtd html 4.01 transitional//")))) "quirks"
+    else if (pub.startsWith("-//w3c//dtd xhtml 1.0 frameset//") ||
+      pub.startsWith("-//w3c//dtd xhtml 1.0 transitional//") ||
+      (systemId.nonEmpty && (pub.startsWith("-//w3c//dtd html 4.01 frameset//") ||
+        pub.startsWith("-//w3c//dtd html 4.01 transitional//")))) "limited-quirks"
+    else "no-quirks"
+  }
+
+  /**
+   * HTML5 tree builder: scaffolding, implied end tags with proper scopes,
+   * table foster parenting, and the active-formatting-elements list with the
+   * spec adoption agency algorithm — the recovery behaviors html5ever gives
+   * the reference for free on real-world markup (`document.rs:258-494`).
+   * From-scratch implementation of the public WHATWG algorithm, not a port.
+   */
+  private final class TreeBuilder(html: String, fragment: Boolean) {
+
+    private case class Open(id: Int, name: String)
+    private final class Fmt(var id: Int, val name: String, val attrs: List[(String, String)])
+
+    private val arena = new Arena
+    private val stack = mutable.ArrayBuffer[Open]()
+    private val afe = mutable.ArrayBuffer[Fmt]() // null entry = scope marker
+    private val errors = mutable.ListBuffer[String]()
+    private var quirks = "quirks" // no doctype → quirks
+    private var sawDoctype = false
+
+    private var htmlId = -1
+    private var headId = -1
+    private var bodyId = -1
+    private var headClosed = false
+    private var bodyStarted = fragment
+
+    /** Bottom entries never popped: #root (+ fragment scaffold html). */
+    private val floor = if (fragment) 2 else 1
+
+    private def top: Open = stack(stack.length - 1)
+    private def curParent: Int = top.id
+    private def error(msg: String): Unit = if (errors.length < 64) errors += msg
+
+    // --- pointer surgery -----------------------------------------------------
+
+    private def detach(id: Int): Unit = {
+      val nd = arena(id)
+      val p = nd.parent
+      if (p != -1) {
+        val pn = arena(p)
+        if (pn.firstChild == id) pn.firstChild = nd.next
+        if (pn.lastChild == id) pn.lastChild = nd.prev
+      }
+      if (nd.prev != -1) arena(nd.prev).next = nd.next
+      if (nd.next != -1) arena(nd.next).prev = nd.prev
+      nd.parent = -1; nd.prev = -1; nd.next = -1
     }
-    var htmlId = -1
-    var headId = -1
-    var bodyId = -1
-    var headClosed = false
-    var bodyStarted = fragment // fragments behave as if in body
 
-    def curParent: Int = stack.head._1
-
-    def appendNode(parentId: Int, node: MutNode): Int = {
-      val id = arena.create(node)
-      link(parentId, id)
-      id
-    }
-
-    def link(parentId: Int, id: Int): Unit = {
+    private def appendChild(parentId: Int, id: Int): Unit = {
       val p = arena(parentId)
       val nd = arena(id)
       nd.parent = parentId
       if (p.lastChild == -1) { p.firstChild = id; p.lastChild = id }
       else {
-        val last = p.lastChild
-        arena(last).next = id
-        nd.prev = last
+        arena(p.lastChild).next = id
+        nd.prev = p.lastChild
         p.lastChild = id
       }
     }
 
-    def appendText(parentId: Int, s0: String): Unit = {
-      val p = arena(parentId)
-      // HTML5: a newline immediately after a pre/textarea/listing start tag
-      // is dropped
-      val s =
-        if (p.firstChild == -1 && p.isElement &&
-            (p.name == "pre" || p.name == "textarea" || p.name == "listing") &&
-            s0.startsWith("\n")) s0.substring(1)
-        else s0
-      if (s.isEmpty) return
-      if (p.lastChild != -1 && arena(p.lastChild).isText) {
-        // merge adjacent text (document.rs:374-396, append_to_existing_text :496-510)
-        arena(p.lastChild).text = arena(p.lastChild).text + s
-      } else appendNode(parentId, new MutNode(NodeKind.Text, text = s))
+    private def insertBefore(refId: Int, id: Int): Unit = {
+      val ref = arena(refId)
+      val nd = arena(id)
+      nd.parent = ref.parent
+      nd.next = refId
+      nd.prev = ref.prev
+      if (ref.prev != -1) arena(ref.prev).next = id
+      else if (ref.parent != -1) arena(ref.parent).firstChild = id
+      ref.prev = id
     }
 
-    def openTags: List[String] = stack.map(_._2)
-
-    def ensureHtml(): Unit = if (!fragment && htmlId == -1) {
-      htmlId = arena.createElement("html")
-      link(0, htmlId)
-      stack = (htmlId, "html") :: stack
-    }
-
-    def ensureHead(): Unit = if (!fragment && headId == -1) {
-      ensureHtml()
-      headId = arena.createElement("head")
-      link(htmlId, headId)
-    }
-
-    def ensureBody(): Unit = {
-      if (fragment) return
-      if (bodyId == -1) {
-        ensureHtml()
-        ensureHead()
-        headClosed = true
-        // pop anything above html (i.e., head if open)
-        stack = stack.dropWhile(e => e._2 != "html" && e._2 != "#root")
-        bodyId = arena.createElement("body")
-        link(htmlId, bodyId)
-        stack = (bodyId, "body") :: stack
+    private def moveChildren(from: Int, to: Int): Unit = {
+      var c = arena(from).firstChild
+      while (c != -1) {
+        val nxt = arena(c).next
+        detach(c)
+        appendChild(to, c)
+        c = nxt
       }
-      bodyStarted = true
     }
 
-    def popTo(name: String): Unit = {
-      // pop until we popped an element with `name`; no-op if absent
-      if (!openTags.contains(name)) return
-      while (stack.nonEmpty && stack.head._2 != name) stack = stack.tail
-      if (stack.nonEmpty && stack.head._2 == name) stack = stack.tail
-    }
+    // --- scopes ---------------------------------------------------------------
 
-    def inScope(name: String): Boolean = {
-      // approximate button/list-item scope: stop at table boundaries
-      var s = stack
-      while (s.nonEmpty) {
-        val t = s.head._2
-        if (t == name) return true
-        if (t == "table" || t == "td" || t == "th" || t == "#root" || t == "template") return false
-        s = s.tail
+    private def inScope(name: String, stops: Set[String] = BaseScopeStops): Boolean = {
+      var i = stack.length - 1
+      while (i >= 0) {
+        val e = stack(i)
+        if (e.name == name) return true
+        if (stops(e.name)) return false
+        i -= 1
+      }
+      false
+    }
+    private def inButtonScope(name: String) = inScope(name, BaseScopeStops + "button")
+    private def inListScope(name: String) = inScope(name, BaseScopeStops ++ Set("ol", "ul"))
+    private def inTableScope(name: String) = inScope(name, TableScopeStops)
+    private def idInScope(id: Int): Boolean = {
+      var i = stack.length - 1
+      while (i >= 0) {
+        val e = stack(i)
+        if (e.id == id) return true
+        if (BaseScopeStops(e.name)) return false
+        i -= 1
       }
       false
     }
 
-    def closeImplied(incoming: String): Unit = {
-      incoming match {
-        case t if ClosesP(t) => if (inScope("p")) popTo("p")
-        case _ =>
+    // --- stack helpers ----------------------------------------------------------
+
+    private def popTop(): Unit = {
+      val e = stack.remove(stack.length - 1)
+      if (MarkerTags(e.name)) clearAfeToMarker()
+    }
+    private def popThrough(name: String): Unit = {
+      var done = false
+      while (!done && stack.length > floor) {
+        val t = top.name
+        popTop()
+        if (t == name) done = true
+      }
+    }
+    private def generateImplied(except: String = ""): Unit =
+      while (stack.length > floor && ImpliedEnd(top.name) && top.name != except) popTop()
+
+    private def clearAfeToMarker(): Unit = {
+      var done = false
+      while (!done && afe.nonEmpty) {
+        val e = afe.remove(afe.length - 1)
+        if (e == null) done = true
+      }
+    }
+
+    // --- foster-aware insertion ---------------------------------------------------
+
+    /** (parent, before): before == -1 means append at end of parent. Foster
+      * parenting (HTML5 "appropriate place for inserting a node"): content
+      * illegal directly inside table/section/row goes BEFORE the table. */
+    private def insertionPoint(foster: Boolean): (Int, Int) = {
+      if (!foster || !TableContext(top.name)) return (curParent, -1)
+      var i = stack.length - 1
+      while (i >= 0) {
+        val e = stack(i)
+        if (e.name == "template") return (e.id, -1)
+        if (e.name == "table") {
+          val p = arena(e.id).parent
+          if (p != -1) return (p, e.id)
+          return (stack(i - 1).id, -1)
+        }
+        i -= 1
+      }
+      (curParent, -1)
+    }
+
+    private def insertNode(id: Int, foster: Boolean): Unit = {
+      val (p, before) = insertionPoint(foster)
+      if (before == -1) appendChild(p, id) else insertBefore(before, id)
+    }
+
+    private def insertText(s0: String, foster: Boolean): Unit = {
+      val (p, before) = insertionPoint(foster)
+      if (before == -1) {
+        val pn = arena(p)
+        // HTML5: newline immediately after a pre/textarea/listing start is dropped
+        val s =
+          if (pn.firstChild == -1 && pn.isElement &&
+              (pn.name == "pre" || pn.name == "textarea" || pn.name == "listing") &&
+              s0.startsWith("\n")) s0.substring(1)
+          else s0
+        if (s.isEmpty) return
+        if (pn.lastChild != -1 && arena(pn.lastChild).isText)
+          arena(pn.lastChild).text = arena(pn.lastChild).text + s
+        else appendChild(p, arena.createText(s))
+      } else {
+        // merge with an existing text node just before the table
+        val prev = arena(before).prev
+        if (prev != -1 && arena(prev).isText) arena(prev).text = arena(prev).text + s0
+        else { val t = arena.createText(s0); insertBefore(before, t) }
+      }
+    }
+
+    // --- active formatting elements ------------------------------------------------
+
+    /** Re-open formatting elements not currently on the stack (HTML5
+      * "reconstruct the active formatting elements"). */
+    private def reconstructAfe(): Unit = {
+      if (afe.isEmpty) return
+      val lastE = afe(afe.length - 1)
+      if (lastE == null || stack.exists(_.id == lastE.id)) return
+      var i = afe.length - 1
+      while (i > 0 && { val e = afe(i - 1); e != null && !stack.exists(_.id == e.id) }) i -= 1
+      while (i < afe.length) {
+        val e = afe(i)
+        val id = arena.createElement(e.name, e.attrs)
+        insertNode(id, foster = true)
+        stack += Open(id, e.name)
+        e.id = id
+        i += 1
+      }
+    }
+
+    /** Push with the Noah's ark clause (≤3 identical entries per marker scope). */
+    private def pushFormatting(id: Int, name: String, attrs: List[(String, String)]): Unit = {
+      var count = 0
+      var earliest = -1
+      var i = afe.length - 1
+      var run = true
+      while (run && i >= 0) {
+        val e = afe(i)
+        if (e == null) run = false
+        else {
+          if (e.name == name && e.attrs == attrs) { count += 1; earliest = i }
+          i -= 1
+        }
+      }
+      if (count >= 3 && earliest != -1) afe.remove(earliest)
+      afe += new Fmt(id, name, attrs)
+    }
+
+    /** The HTML5 adoption agency algorithm (misnested formatting end tags,
+      * e.g. `<b><i>x</b>y</i>`). Max 8 outer / 3 inner iterations per spec. */
+    private def adoptionAgency(subject: String): Unit = {
+      if (top.name == subject && !afe.exists(e => e != null && e.id == top.id)) {
+        popTop(); return
+      }
+      var outer = 0
+      while (outer < 8) {
+        outer += 1
+        // last AFE entry for subject after the last marker
+        var fi = -1
+        var i = afe.length - 1
+        var scan = true
+        while (scan && i >= 0) {
+          val e = afe(i)
+          if (e == null) scan = false
+          else if (e.name == subject) { fi = i; scan = false }
+          else i -= 1
+        }
+        if (fi == -1) { anyOtherEndTag(subject); return }
+        val fmt = afe(fi)
+        val si = stack.indexWhere(_.id == fmt.id)
+        if (si == -1) { error(s"</$subject>: formatting element not open"); afe.remove(fi); return }
+        if (!idInScope(fmt.id)) { error(s"</$subject> out of scope"); return }
+        if (top.id != fmt.id) error(s"misnested </$subject>")
+        // furthest block: first special element above fmt on the stack
+        var fb = -1
+        var j = si + 1
+        while (j < stack.length && fb == -1) {
+          if (Special(stack(j).name)) fb = j else j += 1
+        }
+        if (fb == -1) {
+          while (stack.length > si) popTop()
+          val fiNow = afe.indexOf(fmt)
+          if (fiNow != -1) afe.remove(fiNow)
+          return
+        }
+        val furthestBlockId = stack(fb).id
+        val commonAncestor = stack(si - 1).id
+        var bookmark = fi
+        var nodeIdx = fb
+        var lastNodeId = furthestBlockId
+        var inner = 0
+        var looping = true
+        while (looping) {
+          nodeIdx -= 1
+          val node = stack(nodeIdx)
+          if (node.id == fmt.id) looping = false
+          else {
+            inner += 1
+            val ai = afe.indexWhere(e => e != null && e.id == node.id)
+            if (inner > 3 && ai != -1) {
+              afe.remove(ai)
+              if (ai < bookmark) bookmark -= 1
+              stack.remove(nodeIdx)
+            } else if (ai == -1) {
+              stack.remove(nodeIdx)
+            } else {
+              val entry = afe(ai)
+              val cloneId = arena.createElement(node.name, entry.attrs)
+              entry.id = cloneId
+              stack(nodeIdx) = Open(cloneId, node.name)
+              if (lastNodeId == furthestBlockId) bookmark = ai + 1
+              detach(lastNodeId)
+              appendChild(cloneId, lastNodeId)
+              lastNodeId = cloneId
+            }
+          }
+        }
+        // reparent lastNode under the common ancestor (foster-aware)
+        detach(lastNodeId)
+        val caNode = arena(commonAncestor)
+        if (caNode.isElement && TableContext(caNode.name)) {
+          var t = commonAncestor
+          while (t != -1 && !(arena(t).isElement && arena(t).name == "table")) t = arena(t).parent
+          if (t != -1 && arena(t).parent != -1) insertBefore(t, lastNodeId)
+          else appendChild(commonAncestor, lastNodeId)
+        } else appendChild(commonAncestor, lastNodeId)
+        // clone fmt; furthest block's children move into the clone
+        val newFmtId = arena.createElement(subject, fmt.attrs)
+        moveChildren(furthestBlockId, newFmtId)
+        appendChild(furthestBlockId, newFmtId)
+        val fiNow = afe.indexOf(fmt)
+        if (fiNow != -1) {
+          afe.remove(fiNow)
+          if (fiNow < bookmark) bookmark -= 1
+        }
+        afe.insert(math.min(math.max(bookmark, 0), afe.length), new Fmt(newFmtId, subject, fmt.attrs))
+        val siNow = stack.indexWhere(_.id == fmt.id)
+        if (siNow != -1) stack.remove(siNow)
+        val fbNow = stack.indexWhere(_.id == furthestBlockId)
+        stack.insert(fbNow + 1, Open(newFmtId, subject))
+      }
+    }
+
+    /** HTML5 "any other end tag": walk up, pop through a match, stop at
+      * special elements (stray end tags never pop past block structure). */
+    private def anyOtherEndTag(name: String): Unit = {
+      var i = stack.length - 1
+      while (i >= floor) {
+        val e = stack(i)
+        if (e.name == name) {
+          generateImplied(except = name)
+          while (stack.exists(_.id == e.id)) popTop()
+          return
+        }
+        if (Special(e.name)) { error(s"unexpected end tag </$name>"); return }
+        i -= 1
+      }
+      error(s"stray end tag </$name>")
+    }
+
+    // --- implied closes on start tags ------------------------------------------------
+
+    private def closeCellIfOpen(): Unit = {
+      if (inTableScope("td")) { generateImplied(); popThrough("td") }
+      else if (inTableScope("th")) { generateImplied(); popThrough("th") }
+    }
+
+    private def closeImplied(incoming: String): Unit = {
+      if (ClosesP(incoming) && inButtonScope("p")) {
+        generateImplied(except = "p")
+        popThrough("p")
       }
       incoming match {
         case "li" =>
-          // close open li up to nearest ul/ol
-          var s = stack
-          var found = false
-          while (s.nonEmpty && !found) {
-            val t = s.head._2
-            if (t == "li") { popTo("li"); found = true }
-            else if (t == "ul" || t == "ol" || t == "#root" || t == "table") found = true
-            else s = s.tail
-          }
+          if (inListScope("li")) { generateImplied(except = "li"); popThrough("li") }
         case "dt" | "dd" =>
-          var s = stack
-          var found = false
-          while (s.nonEmpty && !found) {
-            val t = s.head._2
-            if (t == "dt" || t == "dd") { popTo(t); found = true }
-            else if (t == "dl" || t == "#root") found = true
-            else s = s.tail
-          }
-        case "option" => if (stack.head._2 == "option") stack = stack.tail
+          if (inScope("dt")) { generateImplied(except = "dt"); popThrough("dt") }
+          else if (inScope("dd")) { generateImplied(except = "dd"); popThrough("dd") }
+        case "option" => if (top.name == "option") popTop()
         case "optgroup" =>
-          if (stack.head._2 == "option") stack = stack.tail
-          if (stack.head._2 == "optgroup") stack = stack.tail
+          if (top.name == "option") popTop()
+          if (top.name == "optgroup") popTop()
+        case "button" =>
+          if (inScope("button")) { generateImplied(); popThrough("button") }
         case "tr" =>
-          if (openTags.contains("tr")) popTo("tr")
-          else {
-            // close td/th if open without tr (rare)
-            if (stack.head._2 == "td" || stack.head._2 == "th") stack = stack.tail
-          }
-        case "td" | "th" =>
-          if (stack.exists(e => e._2 == "td" || e._2 == "th") &&
-              !stack.takeWhile(e => e._2 != "td" && e._2 != "th").exists(_._2 == "tr")) {
-            val cell = stack.find(e => e._2 == "td" || e._2 == "th").get._2
-            popTo(cell)
-          }
+          closeCellIfOpen()
+          if (inTableScope("tr")) popThrough("tr")
+        case "td" | "th" => closeCellIfOpen()
         case s if TableSections(s) =>
-          stack.head._2 match {
-            case t if TableSections(t) => stack = stack.tail
-            case "tr" => popTo("tr"); if (TableSections(stack.head._2)) stack = stack.tail
-            case _ =>
-          }
-        case "a" => if (openTags.contains("a")) popTo("a") // simplified adoption agency
-        case "button" => if (inScope("button")) popTo("button")
+          closeCellIfOpen()
+          if (inTableScope("tr")) popThrough("tr")
+          if (TableSections(top.name)) popTop()
+        case "caption" | "colgroup" | "col" =>
+          closeCellIfOpen()
+          if (incoming != "caption" && inTableScope("tr")) popThrough("tr")
+        case "table" =>
+          // <table> while directly in table context closes the current table
+          if (TableContext(top.name) && inTableScope("table")) popThrough("table")
         case _ =>
       }
     }
 
-    def tableFixups(incoming: String): Unit = {
-      val cur = stack.head._2
+    /** Implicit tbody/tr insertion for bare rows/cells in a table. */
+    private def tableFixups(incoming: String): Unit = {
       incoming match {
-        case "tr" if cur == "table" =>
-          val tb = appendNode(curParent, { val m = new MutNode(NodeKind.Element, "tbody"); m.attrs = mutable.LinkedHashMap(); m })
-          stack = (tb, "tbody") :: stack
+        case "tr" if top.name == "table" =>
+          val tb = arena.createElement("tbody")
+          appendChild(curParent, tb)
+          stack += Open(tb, "tbody")
         case "td" | "th" =>
-          if (cur == "table") {
-            val tb = appendNode(curParent, { val m = new MutNode(NodeKind.Element, "tbody"); m.attrs = mutable.LinkedHashMap(); m })
-            stack = (tb, "tbody") :: stack
+          if (top.name == "table") {
+            val tb = arena.createElement("tbody")
+            appendChild(curParent, tb)
+            stack += Open(tb, "tbody")
           }
-          if (TableSections(stack.head._2)) {
-            val tr = appendNode(curParent, { val m = new MutNode(NodeKind.Element, "tr"); m.attrs = mutable.LinkedHashMap(); m })
-            stack = (tr, "tr") :: stack
+          if (TableSections(top.name)) {
+            val tr = arena.createElement("tr")
+            appendChild(curParent, tr)
+            stack += Open(tr, "tr")
           }
         case _ =>
       }
     }
 
-    toks.foreach {
+    // --- scaffolding --------------------------------------------------------------
+
+    private def ensureHtml(): Unit = if (!fragment && htmlId == -1) {
+      htmlId = arena.createElement("html")
+      appendChild(0, htmlId)
+      stack += Open(htmlId, "html")
+    }
+
+    private def ensureHead(): Unit = if (!fragment && headId == -1) {
+      ensureHtml()
+      headId = arena.createElement("head")
+      appendChild(htmlId, headId)
+    }
+
+    private def ensureBody(): Unit = {
+      if (fragment) return
+      if (bodyId == -1) {
+        ensureHtml(); ensureHead(); headClosed = true
+        while (top.name != "html" && top.name != "#root") popTop()
+        bodyId = arena.createElement("body")
+        appendChild(htmlId, bodyId)
+        stack += Open(bodyId, "body")
+      }
+      bodyStarted = true
+    }
+
+    // --- token dispatch --------------------------------------------------------------
+
+    private def startTagInBody(name: String, attrs: List[(String, String)],
+        selfClosing: Boolean): Unit = {
+      closeImplied(name)
+      if (name == "a" && afe.exists(e => e != null && e.name == "a")) {
+        // spec: a nested <a> runs the adoption agency for the open one
+        error("nested <a>")
+        adoptionAgency("a")
+        val ai = afe.indexWhere(e => e != null && e.name == "a")
+        if (ai != -1) {
+          val stale = afe(ai)
+          afe.remove(ai)
+          val si = stack.indexWhere(_.id == stale.id)
+          if (si != -1) stack.remove(si)
+        }
+      }
+      tableFixups(name)
+      val inTableCtx = TableContext(top.name)
+      val hiddenInput = name == "input" &&
+        attrs.exists { case (k, v) => k == "type" && v.equalsIgnoreCase("hidden") }
+      if (!inTableCtx || (!TableLegal(name) && !hiddenInput)) reconstructAfe()
+      val fosterNow = TableContext(top.name) && !TableLegal(name) && !hiddenInput
+      if (fosterNow) error(s"fostered <$name> out of table")
+      val id = arena.createElement(name, attrs)
+      insertNode(id, fosterNow)
+      val inForeign = stack.exists(e => e.name == "svg" || e.name == "math")
+      if (name == "template") {
+        val frag = arena.create(new MutNode(NodeKind.Fragment))
+        arena(id).templateContents = frag
+        stack += Open(frag, "template")
+        afe += null // marker
+      } else if (FormattingTags(name)) {
+        stack += Open(id, name)
+        pushFormatting(id, name, attrs)
+      } else if (!VoidElements(name) && !(selfClosing && inForeign)) {
+        stack += Open(id, name)
+        if (MarkerTags(name)) afe += null
+      }
+    }
+
+    private def handle(tok: Tok): Unit = tok match {
       case TDoctype(name, pub, sys) =>
-        if (!fragment && htmlId == -1 && bodyId == -1) {
+        if (!fragment && htmlId == -1 && bodyId == -1 && !sawDoctype) {
+          sawDoctype = true
+          quirks = quirksFor(sawDoctype = true, name, pub, sys)
           val m = new MutNode(NodeKind.Doctype, name)
           m.text = if (pub.isEmpty && sys.isEmpty) null else s"$pub|$sys"
-          appendNode(0, m)
-        } // fragments drop doctype (document.rs:70-71)
+          val id = arena.create(m)
+          appendChild(0, id)
+        } else if (!fragment) error("unexpected doctype")
+        // fragments drop the doctype (document.rs:70-71)
 
       case TComment(s) =>
-        val target = if (fragment) curParent
-          else if (bodyStarted || htmlId != -1) curParent
-          else 0
-        appendNode(target, new MutNode(NodeKind.Comment, text = s))
+        val target = if (fragment || bodyStarted || htmlId != -1) curParent else 0
+        val id = arena.create(new MutNode(NodeKind.Comment, text = s))
+        appendChild(target, id)
 
       case TText(s) =>
-        // is the insertion point inside the head subtree (e.g. <title> text)?
         def underHead: Boolean = {
-          if (headId == -1) return false
-          var p = curParent
-          while (p != -1) {
-            if (p == headId) return true
-            p = arena(p).parent
+          if (headId == -1) false
+          else {
+            var p = curParent
+            var found = false
+            while (p != -1 && !found) {
+              if (p == headId) found = true else p = arena(p).parent
+            }
+            found
           }
-          false
         }
-        if (fragment) appendText(curParent, s)
-        else if (bodyStarted) appendText(curParent, s)
-        else if (underHead) appendText(curParent, s)
-        else if (s.forall(Character.isWhitespace)) {
+        val allWs = s.forall(Character.isWhitespace)
+        if (fragment || bodyStarted) {
+          if (!allWs) {
+            if (TableContext(top.name)) error("fostered text out of table")
+            reconstructAfe()
+            insertText(s, foster = true)
+          } else insertText(s, foster = false)
+        } else if (underHead) insertText(s, foster = false)
+        else if (allWs) {
           // before-html/before-head: ignore; in-head: insert into head;
           // after-head: insert under html (spec "insert the character")
-          if (headId != -1 && !headClosed && stack.head._1 != htmlId && stack.head._1 != 0) {
-            appendText(curParent, s)
-          } else if (headClosed && htmlId != -1) appendText(htmlId, s)
+          if (headId != -1 && !headClosed && top.id != htmlId && top.id != 0) {
+            insertText(s, foster = false)
+          } else if (headClosed && htmlId != -1) appendChild(htmlId, arena.createText(s))
           // else ignore
         } else {
           ensureBody()
-          appendText(curParent, s)
+          reconstructAfe()
+          insertText(s, foster = true)
         }
 
       case TStart(name, attrs, selfClosing) =>
         name match {
           case "html" if fragment =>
-            // merge attrs into the scaffold html (spec: unexpected html tag)
             attrs.foreach { case (k, v) =>
               val h = arena(1)
               if (!h.attrs.contains(k)) h.attrs(k) = v
             }
-          case "head" | "body" if fragment =>
-            // ignored in a body-context fragment; content flows through
-            ()
+          case "head" | "body" if fragment => () // body-context fragment: flow through
           case "html" if !fragment =>
             if (htmlId == -1) {
               htmlId = arena.createElement("html", attrs)
-              link(0, htmlId)
-              stack = (htmlId, "html") :: stack
+              appendChild(0, htmlId)
+              stack += Open(htmlId, "html")
             } else attrs.foreach { case (k, v) =>
               val h = arena(htmlId)
               if (!h.attrs.contains(k)) h.attrs(k) = v
@@ -499,82 +869,104 @@ object HtmlParser {
             ensureHtml()
             if (headId == -1) {
               headId = arena.createElement("head", attrs)
-              link(htmlId, headId)
+              appendChild(htmlId, headId)
             }
-            stack = (headId, "head") :: stack
+            stack += Open(headId, "head")
           case "body" if !fragment =>
             ensureHtml(); ensureHead(); headClosed = true
-            stack = stack.dropWhile(e => e._2 != "html" && e._2 != "#root")
+            while (top.name != "html" && top.name != "#root") popTop()
             if (bodyId == -1) {
               bodyId = arena.createElement("body", attrs)
-              link(htmlId, bodyId)
+              appendChild(htmlId, bodyId)
             } else attrs.foreach { case (k, v) =>
               val b = arena(bodyId)
               if (!b.attrs.contains(k)) b.attrs(k) = v
             }
-            stack = (bodyId, "body") :: stack
+            stack += Open(bodyId, "body")
             bodyStarted = true
           case _ =>
             if (!fragment && !bodyStarted && HeadContent(name)) {
               ensureHead()
-              // insert into head
               val id = arena.createElement(name, attrs)
-              link(headId, id)
+              appendChild(headId, id)
               if (name == "template") {
                 val frag = arena.create(new MutNode(NodeKind.Fragment))
                 arena(id).templateContents = frag
-                stack = (frag, "template") :: stack
-              } else if (!VoidElements(name) && !RawTextElements(name) && !RcdataElements(name)) {
-                stack = (id, name) :: stack
-              } else if (RawTextElements(name) || RcdataElements(name)) {
-                stack = (id, name) :: stack
+                stack += Open(frag, "template")
+                afe += null
+              } else if (!VoidElements(name)) {
+                stack += Open(id, name)
               }
             } else {
               if (!fragment) ensureBody()
-              closeImplied(name)
-              tableFixups(name)
-              val id = arena.createElement(name, attrs)
-              link(curParent, id)
-              // foreign content (svg/math subtrees) honors the self-closing
-              // flag; HTML elements ignore it per spec
-              val inForeign = stack.exists(e => e._2 == "svg" || e._2 == "math")
-              if (name == "template") {
-                val frag = arena.create(new MutNode(NodeKind.Fragment))
-                arena(id).templateContents = frag
-                stack = (frag, "template") :: stack
-              } else if (!VoidElements(name) && !(selfClosing && inForeign)) {
-                stack = (id, name) :: stack
-              }
+              startTagInBody(name, attrs, selfClosing)
             }
         }
 
       case TEnd(name) =>
         name match {
-          case "html" => // keep scaffolding open; subsequent content still lands in body
-            if (!fragment) { /* after-html: ignore */ }
-            else popTo(name)
+          case "html" => () // after-html: ignore (doc); fragment scaffold never pops
           case "body" =>
-            // after-body: leave body on stack bottom so trailing text appends to it
             if (!fragment && bodyId != -1) {
-              stack = stack.dropWhile(e => e._1 != bodyId && e._2 != "#root")
-            } else if (fragment) popTo(name)
+              while (top.id != bodyId && top.name != "#root") popTop()
+            }
+          // body stays open so trailing content still lands in it
           case "head" =>
             headClosed = true
-            if (stack.nonEmpty && stack.head._2 == "head") stack = stack.tail
+            if (top.name == "head") popTop()
           case "p" =>
-            if (inScope("p")) popTo("p")
+            if (inButtonScope("p")) { generateImplied(except = "p"); popThrough("p") }
             else if (bodyStarted || fragment) {
               // spec: </p> with no open p inserts an empty <p>
               val id = arena.createElement("p")
-              link(curParent, id)
+              insertNode(id, foster = TableContext(top.name))
             }
           case "template" =>
-            // pop to the fragment pseudo-entry
-            if (openTags.contains("template")) popTo("template")
-          case _ => popTo(name)
+            if (stack.exists(_.name == "template")) popThrough("template")
+          case "table" =>
+            if (inTableScope("table")) popThrough("table") else error("stray </table>")
+          case "tr" | "td" | "th" | "tbody" | "thead" | "tfoot" | "caption" =>
+            if (inTableScope(name)) { generateImplied(); popThrough(name) }
+            else error(s"stray </$name>")
+          case "li" =>
+            if (inListScope("li")) { generateImplied(except = "li"); popThrough("li") }
+            else error("stray </li>")
+          case "dd" | "dt" =>
+            if (inScope(name)) { generateImplied(except = name); popThrough(name) }
+            else error(s"stray </$name>")
+          case n if BlockEnd(n) =>
+            if (inScope(n)) { generateImplied(); popThrough(n) }
+            else error(s"stray </$n>")
+          case n if Headings(n) =>
+            if (Headings.exists(h => inScope(h))) {
+              generateImplied()
+              while (stack.length > floor && !Headings(top.name)) popTop()
+              if (Headings(top.name)) popTop()
+            } else error(s"stray </$n>")
+          case n if FormattingTags(n) => adoptionAgency(n)
+          case n => anyOtherEndTag(n)
         }
     }
-    arena
+
+    def run(): Arena = {
+      arena.create(new MutNode(if (fragment) NodeKind.Fragment else NodeKind.Document))
+      stack += Open(0, "#root")
+      if (fragment) {
+        // html5ever fragment layout (reference merge skips exactly these 3
+        // scaffold nodes: root, stray body, html — ops.rs:443-452): content
+        // lives under an <html> element child of the Fragment root, and a
+        // detached body occupies arena id 2
+        val htmlEl = arena.createElement("html") // id 1
+        appendChild(0, htmlEl)
+        arena.createElement("body") // id 2, detached
+        stack += Open(htmlEl, "#fragment-html")
+        quirks = "no-quirks"
+      }
+      tokenize(html).foreach(handle)
+      arena.errors = errors.toList
+      arena.quirksMode = quirks
+      arena
+    }
   }
 
   /** Parse + finalize to immutable records (preorder renumbered). */
@@ -637,6 +1029,8 @@ object Renumber {
     // any detached nodes (shouldn't exist fresh from parse) appended at end
     (0 until a.size).foreach(i => if (!pos.contains(i)) { pos(i) = order.length; order += i })
     val out = new Arena
+    out.errors = a.errors
+    out.quirksMode = a.quirksMode
     order.foreach { old =>
       val src = a(old)
       val m = src.deepCopyShallow()
