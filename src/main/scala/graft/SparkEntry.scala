@@ -375,10 +375,15 @@ object SparkEntry {
     * is derivable from the same table on both engines. */
   private def synthFrontier(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val li = s.read.parquet(s"$dir/lineitem.parquet")
+    // mixed schemes and non-default ports so robots path derivation is
+    // exercised on more than the fixed 'https://' prefix
+    val hostIdx = pmod(col("l_suppkey"), lit(50))
+    val scheme = when(pmod(hostIdx, lit(3)) === 1, lit("http://")).otherwise(lit("https://"))
+    val hostCol = concat(lit("host-"), hostIdx, lit(".example"),
+      when(pmod(hostIdx, lit(7)) === 2, lit(":8081")).otherwise(lit("")))
     val f = li.select(
-      concat(lit("https://host-"), pmod(col("l_suppkey"), lit(50)),
-        lit(".example/part/"), col("l_partkey")).as("url"),
-      concat(lit("host-"), pmod(col("l_suppkey"), lit(50)), lit(".example")).as("host"),
+      concat(scheme, hostCol, lit("/part/"), col("l_partkey")).as("url"),
+      hostCol.as("host"),
       col("l_linenumber").cast("int").as("priority"),
       (col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("seq"),
       col("l_quantity"))
@@ -539,8 +544,9 @@ object SparkEntry {
             unseen AS (SELECT * FROM cand WHERE url NOT IN (SELECT url FROM seen)),
             allowed AS (SELECT u.* FROM unseen u LEFT JOIN robots r USING (host)
                         WHERE r.disallow_prefix IS NULL
-                           OR NOT starts_with(substring(u.url, length(u.host) + 9),
-                                              r.disallow_prefix)),
+                           OR NOT starts_with(
+                                regexp_replace(u.url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', ''),
+                                r.disallow_prefix)),
             ranked AS (SELECT *, row_number() OVER
                          (PARTITION BY host ORDER BY priority DESC, seq ASC, url ASC) - 1 AS slot
                        FROM allowed)
@@ -567,8 +573,12 @@ object SparkEntry {
   }
 
   private val frontierCte =
-    """f AS (SELECT 'https://host-' || (l_suppkey % 50) || '.example/part/' || l_partkey AS url,
-              'host-' || (l_suppkey % 50) || '.example' AS host,
+    """f AS (SELECT (CASE WHEN (l_suppkey % 50) % 3 = 1 THEN 'http://' ELSE 'https://' END)
+                    || 'host-' || (l_suppkey % 50) || '.example'
+                    || (CASE WHEN (l_suppkey % 50) % 7 = 2 THEN ':8081' ELSE '' END)
+                    || '/part/' || l_partkey AS url,
+              'host-' || (l_suppkey % 50) || '.example'
+              || (CASE WHEN (l_suppkey % 50) % 7 = 2 THEN ':8081' ELSE '' END) AS host,
               l_linenumber AS priority,
               l_orderkey * 8 + l_linenumber AS seq,
               l_quantity FROM lineitem),

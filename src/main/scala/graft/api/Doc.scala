@@ -29,11 +29,10 @@ final class Doc(val arena: Arena) {
     new Sel(this, if (f == -1) Nil else Seq(f))
   }
 
-  /** Name-only path search (F1, `node_ref.rs:796-803`). */
-  def find(path: Seq[String]): Sel = {
-    val css = path.mkString(" ")
-    select(css)
-  }
+  /** Name-only path search with descent pruning (F1, `node_ref.rs:796-803`,
+    * `dom_tree/traversal.rs:90-138`). */
+  def find(path: Seq[String]): Sel =
+    new Sel(this, Engine.findByNames(acc, Seq(0), path).toSeq)
 
   /** `html>head>base[href]` fast path (F5, `tree.rs:86-95`). */
   def baseUri: Option[String] = {

@@ -56,7 +56,6 @@ object Frontier {
    * maybe-seen slice is anti-joined exactly (false positives resolved).
    */
   def filterUnseen(candidates: DataFrame, seen: DataFrame, bloomBits: Long = 0L): DataFrame = {
-    if (seen.isEmpty) return candidates
     if (bloomBits <= 0) {
       candidates.join(seen.select("url"), Seq("url"), "left_anti")
     } else {
@@ -67,11 +66,14 @@ object Frontier {
       val view = s"graft_seen_${java.util.UUID.randomUUID.toString.replace("-", "")}"
       seen.select("url").createOrReplaceTempView(view)
       val estItems = math.max(1000000L, bloomBits / 16)
-      val flag = expr(
+      // bloom_filter_agg over an EMPTY seen set yields null; coalesce to true
+      // sends every candidate through the exact anti-join (still correct) —
+      // no driver-side seen.isEmpty action in plan construction.
+      val flag = coalesce(expr(
         s"""might_contain(
               (SELECT bloom_filter_agg(xxhash64(url), bigint($estItems), bigint($bloomBits))
                FROM $view),
-              xxhash64(url))""")
+              xxhash64(url))"""), lit(true))
       val withFlag = candidates.withColumn("maybe_seen", flag)
       val definiteNew = withFlag.filter(!col("maybe_seen")).drop("maybe_seen")
       val maybeSeen = withFlag.filter(col("maybe_seen")).drop("maybe_seen")
@@ -115,8 +117,13 @@ object Frontier {
     candidates
       .join(broadcast(robots), Seq("host"), "left")
       .filter(col("disallow_prefix").isNull ||
-        !expr("substring(url, length(host) + 9)").startsWith(col("disallow_prefix")))
-      // path = url minus "https://" (8 chars) minus host
+        !urlPath(col("url")).startsWith(col("disallow_prefix")))
+
+  /** Path(+query) part of a URL: strip `scheme://authority`. Handles http vs
+    * https and `:port` authorities (the canonicalizer keeps non-default
+    * ports), unlike a fixed-prefix substring. */
+  def urlPath(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(url, lit("^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*"), lit(""))
 
   /**
    * Token-bucket fetch scheduling: per-host slot × crawl_delay_s gives each

@@ -35,7 +35,8 @@ object OracleCrawler {
       else unseenAll.filter { u =>
         robots.get(u.host).flatMap(_.disallowPrefix) match {
           case Some(p) =>
-            val path = u.url.substring("https://".length + u.host.length)
+            // path = url minus scheme://authority (authority may carry :port)
+            val path = u.url.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
             val allowed = !path.startsWith(p)
             if (!allowed) seen += u.url
             allowed

@@ -141,6 +141,36 @@ object Engine {
   def selectDoc(acc: NodeAccess, css: String): Array[Int] =
     select(acc, Seq(0), SelectorAst.parseCached(css))
 
+  /** Name-path `find` with descent pruning (F1): at every non-final path
+    * step the walk does NOT descend into a matched node; at the final step
+    * it does (reference `dom_tree/traversal.rs:90-138`). This differs from
+    * CSS descendant select on nested same-name matches — `find(["div","div"])`
+    * skips grandchildren of an outer matched div. */
+  def findByNames(acc: NodeAccess, roots: Seq[Int], path: Seq[String]): Array[Int] = {
+    var frontier: mutable.ArrayBuffer[Int] = mutable.ArrayBuffer(roots: _*)
+    var step = 0
+    while (step < path.length && frontier.nonEmpty) {
+      val name = path(step)
+      val isLast = step == path.length - 1
+      val next = new mutable.ArrayBuffer[Int]()
+      def collect(cur: Int): Unit = {
+        var c = acc.firstChild(cur)
+        while (c != -1) {
+          if (acc.isElement(c)) {
+            val matched = acc.name(c) == name
+            if (matched) next += c
+            if (!matched || isLast) collect(c)
+          }
+          c = acc.nextSibling(c)
+        }
+      }
+      frontier.foreach(collect)
+      frontier = next
+      step += 1
+    }
+    frontier.toArray
+  }
+
   /** First match only (Q2) — document-order first. */
   def selectFirst(acc: NodeAccess, roots: Seq[Int], list: List[Complex]): Int = {
     val all = select(acc, roots, list)
@@ -297,9 +327,10 @@ object Engine {
     case PId(v) => acc.attr(i, "id") == v
     case PClass(v) => acc.hasClass(i, v)
     case PAttrExists(k) => acc.hasAttr(i, k)
-    case PAttr(k, op, v) =>
+    case PAttr(k, op, v, ci) =>
       val ev = acc.attr(i, k)
-      ev != null && attrOpMatch(ev, op, v)
+      ev != null && (if (ci) attrOpMatch(ev.toLowerCase, op, v.toLowerCase)
+                     else attrOpMatch(ev, op, v))
     case PNth(a, b, fromEnd, ofType) =>
       val pos =
         if (!fromEnd && !ofType) acc.elemPos(i)
@@ -344,18 +375,16 @@ object Engine {
     case PFalse => false
   }
 
-  def attrOpMatch(ev: String, op: AttrOp, v: String): Boolean = {
-    // operator table from the reference (`mini_selector/selector.rs:33-55`);
-    // empty element values never match
-    if (ev.isEmpty) return false
-    op match {
-      case AEquals => ev == v
-      case AIncludes => ev.split("[ \t\n\r\f]+").exists(_ == v)
-      case ADashMatch => ev == v || (ev.startsWith(v) && ev.length > v.length && ev.charAt(v.length) == '-')
-      case APrefix => v.nonEmpty && ev.startsWith(v)
-      case ASuffix => v.nonEmpty && ev.endsWith(v)
-      case ASubstring => v.nonEmpty && ev.contains(v)
-    }
+  def attrOpMatch(ev: String, op: AttrOp, v: String): Boolean = op match {
+    // selectors-crate semantics (`AttrSelectorOperation::eval_str`): `=` and
+    // `|=` compare empty strings ([k=""] matches <input k="">); the
+    // substring-family operators never match an empty selector value
+    case AEquals => ev == v
+    case AIncludes => v.nonEmpty && ev.split("[ \t\n\r\f]+").exists(_ == v)
+    case ADashMatch => ev == v || (ev.startsWith(v) && ev.length > v.length && ev.charAt(v.length) == '-')
+    case APrefix => v.nonEmpty && ev.startsWith(v)
+    case ASuffix => v.nonEmpty && ev.endsWith(v)
+    case ASubstring => v.nonEmpty && ev.contains(v)
   }
 
   def isEmptyElement(acc: NodeAccess, i: Int): Boolean = {

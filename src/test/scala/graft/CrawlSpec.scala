@@ -20,10 +20,17 @@ class CrawlSpec extends AnyFunSuite {
 
   import OracleCrawler.Url
 
-  /** Deterministic seed list: 4 hosts, skewed (host-0 gets 5× the urls). */
+  /** Deterministic seed list: 4 hosts, skewed (host-0 gets 5× the urls).
+    * host-1 is http:// and host-2 carries a non-default port, so the robots
+    * path derivation is exercised beyond the fixed 'https://' prefix. */
   def seed: Seq[Url] = (0 until 200).map { i =>
-    val host = s"host-${Seq(0, 0, 0, 0, 0, 1, 2, 3)(i % 8)}.example"
-    Url(s"https://$host/p/${i % 120}", host, priority = i % 5, seq = i.toLong)
+    val idx = Seq(0, 0, 0, 0, 0, 1, 2, 3)(i % 8)
+    val host = idx match {
+      case 2 => "host-2.example:8443"
+      case n => s"host-$n.example"
+    }
+    val scheme = if (idx == 1) "http" else "https"
+    Url(s"$scheme://$host/p/${i % 120}", host, priority = i % 5, seq = i.toLong)
   }
 
   /** Deterministic discovery: each scheduled url yields one child url. */
@@ -111,12 +118,28 @@ class CrawlSpec extends AnyFunSuite {
     assert(r3 == oracleRounds(3).scheduled.map(_.url))
   }
 
+  test("robots path derivation handles scheme and port shapes") {
+    import spark.implicits._
+    val urls = Seq(
+      "https://h.example/p/1",
+      "http://h.example/p/1",
+      "https://h.example:8443/p/1?q=2",
+      "http://h.example:80/",
+      "https://h.example").toDF("url")
+    val got = urls.select(Frontier.urlPath(col("url")).as("p"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("/p/1", "/p/1", "/p/1?q=2", "/", ""))
+  }
+
   test("robots gate + token-bucket ready times match oracle") {
     import spark.implicits._
-    val robotsMap = (0 until 4).map { i =>
-      s"host-$i.example" -> OracleCrawler.Robots(
-        if (i % 2 == 0) Some("/p/1") else None, i % 3 + 1)
-    }.toMap
+    // disallow on host-0 (https), host-1 (http) and host-2 (https + :8443) —
+    // the path must be derived correctly for every scheme/port shape
+    val robotsMap = Map(
+      "host-0.example" -> OracleCrawler.Robots(Some("/p/1"), 1),
+      "host-1.example" -> OracleCrawler.Robots(Some("/p/1"), 2),
+      "host-2.example:8443" -> OracleCrawler.Robots(Some("/p/1"), 3),
+      "host-3.example" -> OracleCrawler.Robots(None, 1))
     val robotsDf = robotsMap.toSeq.map { case (h, r) =>
       (h, r.disallowPrefix.orNull, r.crawlDelayS)
     }.toDF("host", "disallow_prefix", "crawl_delay_s")

@@ -390,4 +390,93 @@ class EngineSpec extends AnyFunSuite {
     Seq(ANCESTORS, LIST, HEADING, LINKS, SIMPLE_LIST, EMPTY_HEADINGS, ATTRS, README_PAGE)
       .foreach { html => assert(Doc.parse(html).validate.isEmpty) }
   }
+
+  test("attribute case-insensitivity flag [attr=v i] (selectors-crate eval_str)") {
+    val d = Doc.parse("""<input type="TEXT"><input type="text"><a href="HTTP://X">x</a>""")
+    assert(d.select("input[type=text i]").length == 2)
+    assert(d.select("input[type=text]").length == 1)
+    assert(d.select("input[type=TEXT s]").length == 1)
+    assert(d.select("""a[href^="http" i]""").length == 1)
+    assert(d.select("""a[href^="http"]""").length == 0)
+  }
+
+  test("[k=''] matches an empty attribute; substring ops never match empty value") {
+    val d = Doc.parse("""<input value=""><input value="x">""")
+    assert(d.select("""input[value=""]""").length == 1)
+    assert(d.select("""input[value*=""]""").length == 0)
+    assert(d.select("""input[value^=""]""").length == 0)
+    assert(d.select("""input[value~=""]""").length == 0)
+    assert(d.select("""input[value$="x"]""").length == 1)
+  }
+
+  test("malformed attribute operators are invalid selectors (reference panics)") {
+    val d = Doc.parse("<div a='b'>x</div>")
+    assert(d.trySelect("[a~b]").isEmpty)
+    assert(d.trySelect("[a^b]").isEmpty)
+    assert(d.trySelect("[a|b]").isEmpty)
+    assert(d.trySelect("[a$b]").isEmpty)
+    assert(d.trySelect("[a*b]").isEmpty)
+  }
+
+  test("find name-path walks with descent pruning (traversal.rs:90-138)") {
+    val d = Doc.parse(
+      "<div id=o><div id=i><span><a id=x>1</a></span></div><a id=y>2</a></div>")
+    // ["div","a"]: step 1 matches the outer div only (inner pruned);
+    // step 2 collects every a under it, in document order
+    val f = d.find(Seq("div", "a"))
+    assert(f.ids.map(i => d.acc.attr(i, "id")) == Seq("x", "y"))
+    // ["div","div","a"]: inner div found at step 2, only #x at step 3
+    val f2 = d.find(Seq("div", "div", "a"))
+    assert(f2.ids.map(i => d.acc.attr(i, "id")) == Seq("x"))
+    // last step descends into matches: nested same-name elements all found
+    val nested = Doc.parse("<div id=a><div id=b><div id=c></div></div></div>")
+    assert(nested.find(Seq("div")).length == 3)
+    assert(nested.find(Seq("div", "div")).ids.map(i => nested.acc.attr(i, "id")) ==
+      Seq("b", "c"))
+    assert(d.find(Seq("span", "span")).isEmpty)
+  }
+
+  test("parse errors + quirks mode surfaced (document.rs:22-32)") {
+    val clean = Doc.parse("<!DOCTYPE html><html><body><p>x</p></body></html>")
+    assert(clean.arena.errors.isEmpty)
+    assert(clean.arena.quirksMode == "no-quirks")
+    // no doctype → quirks
+    assert(Doc.parse("<div>x</div>").arena.quirksMode == "quirks")
+    // legacy transitional public id without system id → quirks
+    val legacy = Doc.parse(
+      """<!DOCTYPE HTML PUBLIC "-//W3C//DTD HTML 4.01 Transitional//EN"><p>x""")
+    assert(legacy.arena.quirksMode == "quirks")
+    val limited = Doc.parse(
+      """<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML 1.0 Transitional//EN" "http://www.w3.org/TR/xhtml1/DTD/xhtml1-transitional.dtd"><p>x""")
+    assert(limited.arena.quirksMode == "limited-quirks")
+    // stray end tags and misnesting are recorded
+    val messy = Doc.parse("<div><b>x</div></b></span>")
+    assert(messy.arena.errors.nonEmpty)
+    // fragments default to no-quirks (doctype dropped)
+    assert(Doc.fragment("<p>x").arena.quirksMode == "no-quirks")
+  }
+
+  test("adoption agency: misnested formatting recovery (<b><i>x</b>y</i>)") {
+    val d = Doc.parse("<p>1<b>2<i>3</b>4</i>5</p>")
+    // html5ever: <p>1<b>2<i>3</i></b><i>4</i>5</p>
+    assert(d.select("p").innerHtml.exists(_.contains("<b>2<i>3</i></b><i>4</i>")))
+    assert(d.text == "12345")
+    // block inside formatting: <b>1<p>2</b>3</p> → b is cloned into the p
+    val d2 = Doc.parse("<b>1<p>2</b>3</p>")
+    assert(d2.select("b").length == 2)
+    assert(d2.select("p b").length == 1)
+    assert(d2.text == "123")
+  }
+
+  test("foster parenting: table-illegal content moves before the table") {
+    val d = Doc.parse("<table>foo<tr><td>bar</td></tr></table>")
+    // "foo" is fostered out; the table keeps only its legal structure
+    assert(d.select("table").text == "bar")
+    assert(d.body.text == "foobar")
+    // fostered element before the table
+    val d2 = Doc.parse("<div><table><div id=f>x</div><tr><td>y</td></tr></table></div>")
+    val outer = d2.select("div").first
+    assert(d2.select("div > div#f").length == 1)
+    assert(d2.select("table div").length == 0)
+  }
 }
