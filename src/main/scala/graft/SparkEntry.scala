@@ -348,8 +348,9 @@ object SparkEntry {
       Similarity.bruteForceTopK(Similarity.embeddings(s, dir), nQueries = 20, k = 5)
         .orderBy("query_id", "rank")),
 
-    // LSH ANN: approximate by design — driver records rows-only (no oracleSql);
-    // recall vs brute force is asserted in PipelineSpec instead
+    // LSH ANN: approximate vs brute force by design, but fully deterministic —
+    // the DuckDB oracle mirrors the multi-table signature + re-rank exactly;
+    // recall vs brute force is additionally asserted in PipelineSpec
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(Similarity.embeddings(s, dir), nQueries = 20, k = 5)
         .orderBy("query_id", "rank")),
@@ -758,6 +759,39 @@ object SparkEntry {
                        FROM scored)
             SELECT query_id, neighbor_id, cast(rank as bigint) AS rank
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+      "q_ann_lsh" -> {
+        // exact mirror of Similarity.lshTopK: 4 tables × 4-bit signatures
+        // (plane index j = t*4 + b, bit value 1<<b), bucket union, cosine
+        // re-rank — deterministic, so fully oracle-gated
+        def tableBucket(t: Int) = {
+          val bits = (0 until 4).map { b =>
+            val j = t * 4 + b
+            s"""CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+                  list_transform(list_zip(embedding,
+                    [((($j * 64 + d) * 2654435761) % 1000003) / 1000003.0 - 0.5
+                     for d in range(0, 64)]),
+                    t -> t[1]::DOUBLE * t[2]::DOUBLE)),
+                  (acc, v) -> acc + v) >= 0.0
+                THEN ${1L << b}::BIGINT ELSE 0::BIGINT END"""
+          }.mkString(" + ")
+          s"concat_ws(':', $t, $bits)"
+        }
+        val buckets = (0 until 4).map(tableBucket).mkString(", ")
+        s"""WITH sig AS (SELECT vec_id, unnest([$buckets]) AS bucket FROM embeddings),
+            cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+                     FROM sig q JOIN sig c USING (bucket)
+                     WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+            scored AS (SELECT query_id, neighbor_id,
+                              ${dCosine("qe.embedding", "ce.embedding")} AS cos
+                       FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+                                 JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
+            ranked AS (SELECT query_id, neighbor_id,
+                              row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rank
+                       FROM scored)
+            SELECT query_id, neighbor_id, cast(rank as bigint) AS rank
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+      },
       "q_multimodal_decode" ->
         s"""SELECT doc_id,
              CASE doc_id % 3 WHEN 0 THEN concat('img-', doc_id)

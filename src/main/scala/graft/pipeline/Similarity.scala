@@ -85,13 +85,19 @@ object Similarity {
       }.mkString(" + ")
       concat_ws(":", lit(t), expr(bitExprs))
     }
+    // the bucket join + per-pair distinct shuffle (vec_id, bucket) rows only —
+    // the 64-float embeddings rejoin narrowly after the id-pair dedup
     val sig = emb.withColumn("buckets", array(tables: _*))
-      .select(col("vec_id"), col("embedding"), explode(col("buckets")).as("bucket"))
+      .select(col("vec_id"), explode(col("buckets")).as("bucket"))
     val q = sig.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket"))
-    val c = sig.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("bucket"))
-    val cand = q.join(c, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "cv").distinct()
+      .select(col("vec_id").as("query_id"), col("bucket"))
+    val c = sig.select(col("vec_id").as("neighbor_id"), col("bucket"))
+    val candIds = q.join(c, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val payload = emb.select(col("vec_id"), col("embedding"))
+    val cand = candIds
+      .join(payload.select(col("vec_id").as("query_id"), col("embedding").as("qv")), Seq("query_id"))
+      .join(payload.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")), Seq("neighbor_id"))
     val scored = cand.withColumn("cos", expr(cosineSql("qv", "cv")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

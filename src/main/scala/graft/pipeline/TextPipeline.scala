@@ -98,12 +98,15 @@ object TextPipeline {
     base.unionByName(exact).unionByName(near)
   }
 
-  /** Exact dedup: normalize → group → canonical id + group size (groups > 1).
-    * At scale: one hash-shuffle on the normalized text (or xxhash64 of it). */
+  /** Exact dedup: normalize → group by md5(norm) → canonical id + group size
+    * (groups > 1). Grouping on the 128-bit digest instead of the full
+    * normalized text keeps the shuffle rows fixed-width at 100 TB (md5 is
+    * reproducible in the DuckDB oracle, unlike xxhash64; collisions are
+    * negligible at 2^64 docs). */
   def exactDedup(corpus: DataFrame): DataFrame =
     corpus
-      .withColumn("norm", expr("regexp_replace(trim(lower(text)), '\\\\s+', ' ')"))
-      .groupBy("norm")
+      .withColumn("norm_h", md5(expr("regexp_replace(trim(lower(text)), '\\\\s+', ' ')")))
+      .groupBy("norm_h")
       .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("group_size"))
       .filter(col("group_size") > 1)
       .select("canonical_id", "group_size")
@@ -129,20 +132,25 @@ object TextPipeline {
     * At scale the band-bucket join bounds fan-out to real near-dup clusters
     * (no all-pairs); the verify step is per-candidate-pair only. */
   def minhashPairs(corpus: DataFrame, minJ: Double): DataFrame = {
-    val sig = withShingles(corpus)
+    val sh = withShingles(corpus)
+    val payload = sh.select(col("doc_id"), col("shingles"))
+    val bands = sh
       .withColumn("sig", expr(minhashSigSql("shingles")))
-    val bands = sig.select(col("doc_id"), col("shingles"),
+      .select(col("doc_id"),
         posexplode(expr(
           """transform(sequence(0, 3), b ->
                concat_ws(':', b, element_at(sig, 4*b+1), element_at(sig, 4*b+2),
                          element_at(sig, 4*b+3), element_at(sig, 4*b+4)))""")))
       .withColumnRenamed("col", "band")
-    val cand = bands.as("a").join(bands.as("b"),
+    // candidate join + distinct carries id pairs only (two longs, not two
+    // shingle arrays); payloads rejoin narrowly after the dedup
+    val candIds = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    cand
+    candIds
+      .join(payload.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(payload.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
       .withColumn("jac",
         expr("size(array_intersect(sh_a, sh_b)) / size(array_union(sh_a, sh_b))"))
       .filter(col("jac") >= minJ)
@@ -155,13 +163,17 @@ object TextPipeline {
     * shingles, not all pairs. */
   def ngramJaccardPairs(corpus: DataFrame, minJ: Double): DataFrame = {
     val sh = withShingles(corpus)
-    val inv = sh.select(col("doc_id"), col("shingles"), explode(col("shingles")).as("sh"))
-    val cand = inv.as("a").join(inv.as("b"),
+    val payload = sh.select(col("doc_id"), col("shingles"))
+    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    // inverted-index join on (doc_id, shingle) rows only; the shingle-array
+    // payloads rejoin after the id-pair distinct
+    val candIds = inv.as("a").join(inv.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    cand
+    candIds
+      .join(payload.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(payload.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
       .withColumn("jac",
         expr("size(array_intersect(sh_a, sh_b)) / size(array_union(sh_a, sh_b))"))
       .filter(col("jac") >= minJ)
@@ -176,15 +188,17 @@ object TextPipeline {
       .withColumn("th", expr(s"transform(toks, w -> ${wordHashSql("w")})"))
       .withColumn("sim", expr(simhashSql("th")))
       .select("doc_id", "sim")
-    val bands = sig.select(col("doc_id"), col("sim"),
+    val bands = sig.select(col("doc_id"),
         posexplode(expr(
           "transform(sequence(0, 3), b -> concat_ws(':', b, (sim div shiftleft(1L, 8*b)) % 256))")))
       .withColumnRenamed("col", "band")
-    bands.as("a").join(bands.as("b"),
+    val candIds = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+    candIds
+      .join(sig.select(col("doc_id").as("id_a"), col("sim").as("sim_a")), Seq("id_a"))
+      .join(sig.select(col("doc_id").as("id_b"), col("sim").as("sim_b")), Seq("id_b"))
       .filter(expr(s"bit_count(sim_a ^ sim_b) <= $maxHam"))
       .select("id_a", "id_b")
   }
