@@ -148,16 +148,98 @@ object SparkEntry {
           size(F.css_select(col("nodes2"), "li")).cast("long").as("n_li_left"))
         .orderBy("doc_id")),
 
-    // C4: validate after a mutation pipeline
+    // C4: validate after a mutation pipeline — dom_mutate_ops runs the whole
+    // op list with ONE ArrayData→Arena decode + rebuild per row
     "q_dom_mutate_validate" -> ((s, dir) =>
       parts(s, dir)
         .withColumn("nodes2",
-          F.dom_mutate(
-            F.dom_mutate(col("nodes"), "a.plink", "set_attr", lit("rel"), lit("nofollow")),
-            "ul.words", "append_html", lit("<li class=\"extra\">tail</li>")))
+          F.dom_mutate_ops(col("nodes"), Seq(
+            ("a.plink", "set_attr", lit("rel"), lit("nofollow")),
+            ("ul.words", "append_html", lit("<li class=\"extra\">tail</li>"), lit(null)))))
         .select(col("doc_id"),
           F.dom_validate(col("nodes2")).isNull.as("is_valid"),
           size(F.css_select(col("nodes2"), "li.extra")).cast("long").as("n_extra"))
+        .orderBy("doc_id")),
+
+    // P12: adjacent (+) and general (~) sibling combinators
+    "q_dom_combinators" -> ((s, dir) =>
+      parts(s, dir)
+        .select(col("doc_id"),
+          F.dom_text(col("nodes"),
+            F.css_select(col("nodes"), "a.plink + ul.words > li:first-child")).as("adj_first"),
+          F.dom_text(col("nodes"),
+            F.css_select(col("nodes"), "a.plink ~ p.sz")).as("sib_text"))
+        .orderBy("doc_id")),
+
+    // P9: the non-standard text pseudo-classes :contains / :has-text
+    "q_dom_contains" -> ((s, dir) =>
+      parts(s, dir)
+        .select(col("doc_id"),
+          size(F.css_select(col("nodes"), "ul.words li:contains(e)")).cast("long")
+            .as("n_contains"),
+          size(F.css_select(col("nodes"), "ul.words li:has-text(e)")).cast("long")
+            .as("n_has_text"))
+        .orderBy("doc_id")),
+
+    // X7: immediate_text vs subtree text (append_html gives #main a direct
+    // text child; immediate_text sees only it, dom_text sees the subtree)
+    "q_dom_immediate_text" -> ((s, dir) =>
+      parts(s, dir)
+        .withColumn("nodes2", F.dom_mutate(col("nodes"), "#main", "append_html",
+          concat(lit(" tail "), col("doc_id"))))
+        .select(col("doc_id"),
+          F.dom_immediate_text(col("nodes2"),
+            F.css_select(col("nodes2"), "#main")).as("im_text"),
+          F.dom_text(col("nodes2"), F.css_select(col("nodes2"), "#main")).as("full_text"))
+        .orderBy("doc_id")),
+
+    // F1: descent-pruned name-path find + Q2 select_single
+    "q_dom_find" -> ((s, dir) =>
+      parts(s, dir)
+        .select(col("doc_id"),
+          size(F.dom_find(col("nodes"), Seq("body", "ul", "li"))).cast("long").as("n_li"),
+          size(F.dom_find(col("nodes"), Seq("li", "li"))).cast("long").as("n_nested"),
+          F.dom_text(col("nodes"),
+            array(F.css_select_first(col("nodes"), "ul.words li"))).as("first_li"))
+        .orderBy("doc_id")),
+
+    // Q6/Q7: selection union keeps first-selection order, dedups
+    "q_dom_union" -> ((s, dir) =>
+      parts(s, dir)
+        .select(col("doc_id"),
+          F.dom_text(col("nodes"),
+            array_union(F.css_select(col("nodes"), "p.sz"),
+              F.css_select(col("nodes"), "a.plink, p.sz"))).as("union_text"))
+        .orderBy("doc_id")),
+
+    // M11/M12/C1/C2: cross-tree selection copy (append + replace modes)
+    "q_dom_cross_copy" -> ((s, dir) =>
+      parts(s, dir)
+        .withColumn("src_nodes", F.parse_fragment(
+          concat(lit("<em class=\"badge\">ex-"), col("doc_id"), lit("</em>"))))
+        .withColumn("nodes2",
+          F.dom_copy_selection(col("nodes"), "p.sz", col("src_nodes"), "em.badge", "append"))
+        .withColumn("nodes3",
+          F.dom_copy_selection(col("nodes2"), "a.plink", col("src_nodes"), "em.badge", "replace"))
+        .select(col("doc_id"),
+          F.dom_text(col("nodes3"), F.css_select(col("nodes3"), "p.sz")).as("p_text"),
+          size(F.css_select(col("nodes3"), "em.badge")).cast("long").as("n_badges"),
+          size(F.css_select(col("nodes3"), "a.plink")).cast("long").as("n_links"))
+        .orderBy("doc_id")),
+
+    // S1 meta surface: parse errors + quirks mode (document.rs:22-32)
+    "q_dom_parse_errors" -> ((s, dir) =>
+      parts(s, dir)
+        .withColumn("meta", F.parse_html_meta(concat(
+          when(col("doc_id").cast("long") % 2 === 0, lit("<!DOCTYPE html>"))
+            .otherwise(lit("")),
+          col("html"),
+          when(col("doc_id").cast("long") % 3 === 0, lit("</section>"))
+            .when(col("doc_id").cast("long") % 3 === 1, lit("<b><i>x</b></i>"))
+            .otherwise(lit("")))))
+        .select(col("doc_id"),
+          size(col("meta.errors")).cast("long").as("n_errors"),
+          col("meta.quirks_mode").as("quirks"))
         .orderBy("doc_id")),
 
     // input_hint interchange: preorder span flattening (kind:text signature)
@@ -464,6 +546,46 @@ object SparkEntry {
       "q_dom_mutate_validate" ->
         """SELECT cast(p_partkey as varchar) AS doc_id,
            true AS is_valid, cast(1 as bigint) AS n_extra
+           FROM part ORDER BY doc_id""",
+      "q_dom_combinators" ->
+        """SELECT cast(p_partkey as varchar) AS doc_id,
+           string_split(p_name, ' ')[1] AS adj_first,
+           'size ' || p_size AS sib_text
+           FROM part ORDER BY doc_id""",
+      "q_dom_contains" ->
+        s"""SELECT cast(p_partkey as varchar) AS doc_id,
+            cast(len(list_filter(string_split(p_name, ' '), w -> contains(w, 'e')))
+                 as bigint) AS n_contains,
+            cast(len(list_filter(string_split(p_name, ' '), w -> contains(w, 'e')))
+                 as bigint) AS n_has_text
+            FROM part ORDER BY doc_id""",
+      "q_dom_immediate_text" ->
+        """SELECT cast(p_partkey as varchar) AS doc_id,
+           ' tail ' || p_partkey AS im_text,
+           p_type || replace(p_name, ' ', '') || 'size ' || p_size
+             || ' tail ' || p_partkey AS full_text
+           FROM part ORDER BY doc_id""",
+      "q_dom_find" ->
+        s"""SELECT cast(p_partkey as varchar) AS doc_id,
+            cast($W as bigint) AS n_li,
+            cast(0 as bigint) AS n_nested,
+            string_split(p_name, ' ')[1] AS first_li
+            FROM part ORDER BY doc_id""",
+      "q_dom_union" ->
+        """SELECT cast(p_partkey as varchar) AS doc_id,
+           'size ' || p_size || p_type AS union_text
+           FROM part ORDER BY doc_id""",
+      "q_dom_cross_copy" ->
+        """SELECT cast(p_partkey as varchar) AS doc_id,
+           'size ' || p_size || 'ex-' || p_partkey AS p_text,
+           cast(2 as bigint) AS n_badges,
+           cast(0 as bigint) AS n_links
+           FROM part ORDER BY doc_id""",
+      "q_dom_parse_errors" ->
+        """SELECT cast(p_partkey as varchar) AS doc_id,
+           cast(CASE p_partkey % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 0 END as bigint)
+             AS n_errors,
+           CASE WHEN p_partkey % 2 = 0 THEN 'no-quirks' ELSE 'quirks' END AS quirks
            FROM part ORDER BY doc_id""",
       "q_dom_spans" ->
         """SELECT cast(p_partkey as varchar) AS doc_id,

@@ -126,6 +126,91 @@ case class CssIs(first: Expression, second: Expression, third: Expression)
     copy(first = f, second = s, third = t)
 }
 
+/** `dom_find(nodes, 'body,td,a')` → ARRAY<INT>: descent-pruned name-path
+  * walk (F1, reference `dom_tree/traversal.rs:90-138`) — the reference's own
+  * benches show it ~5× faster than full CSS select for tag-only paths. */
+case class DomFind(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  @transient private lazy val path: Seq[String] = {
+    require(right.foldable, "find path must be a literal")
+    right.eval(InternalRow.empty).toString.split(",").map(_.trim).toSeq
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(nodes: Any, names: Any): Any = {
+    val acc = new ArrayDataAccess(nodes.asInstanceOf[ArrayData])
+    if (acc.size == 0) return DomExprUtil.intsToArray(Array.empty)
+    DomExprUtil.intsToArray(Engine.findByNames(acc, Seq(0), path))
+  }
+  override def prettyName: String = "dom_find"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DomFind =
+    copy(left = l, right = r)
+}
+
+/** `parse_html_meta(html)` → STRUCT<nodes, errors ARRAY<STRING>,
+  * quirks_mode STRING> — the parse surface of SURVEY §1.4 / reference
+  * `Document { errors, quirks_mode }` (`document.rs:22-32`). */
+case class ParseHtmlMeta(child: Expression, fragment: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("nodes", NodeSchema.nodesArrayType, nullable = false),
+    StructField("errors", ArrayType(StringType, containsNull = false), nullable = false),
+    StructField("quirks_mode", StringType, nullable = false)))
+  override def nullSafeEval(html: Any): Any = {
+    val arena0 =
+      if (fragment) HtmlParser.parseFragment(html.toString)
+      else HtmlParser.parseDocument(html.toString)
+    val arena = graft.sources.Renumber.preorder(arena0)
+    InternalRow(
+      NodeSchema.arenaToArrayData(arena),
+      new GenericArrayData(arena.errors.map(e => UTF8String.fromString(e): Any).toArray),
+      UTF8String.fromString(arena.quirksMode))
+  }
+  override def prettyName: String = if (fragment) "parse_fragment_meta" else "parse_html_meta"
+  override protected def withNewChildInternal(c: Expression): ParseHtmlMeta = copy(child = c)
+}
+
+/** `dom_copy_selection(target_nodes, 'target_css', source_nodes, 'source_css',
+  * 'append'|'replace')` → new target nodes with the source selection's
+  * subtrees deep-copied (id-remapped) into/over every target match — the
+  * cross-tree copy surface (M11/M12/C1/C2, reference `selection.rs:445-486`). */
+case class DomCopySelection(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  require(children.length == 5,
+    "dom_copy_selection(target_nodes, target_css, source_nodes, source_css, mode)")
+  @transient private lazy val targetPlan = DomExprUtil.compile(children(1))
+  @transient private lazy val sourcePlan = DomExprUtil.compile(children(3))
+  private lazy val mode = children(4).eval(InternalRow.empty).toString
+  override def dataType: DataType = NodeSchema.nodesArrayType
+  override def nullable: Boolean = children.head.nullable || children(2).nullable
+  override def foldable: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val targetVal = children.head.eval(input)
+    val sourceVal = children(2).eval(input)
+    if (targetVal == null || sourceVal == null) return null
+    val target = Arena.fromRecs(
+      new ArrayDataAccess(targetVal.asInstanceOf[ArrayData]).toRecs.toSeq)
+    val source = Arena.fromRecs(
+      new ArrayDataAccess(sourceVal.asInstanceOf[ArrayData]).toRecs.toSeq)
+    val targets = Engine.select(new graft.css.ArenaAccess(target), Seq(0), targetPlan)
+    val sources = Engine.select(new graft.css.ArenaAccess(source), Seq(0), sourcePlan)
+    targets.foreach { t =>
+      sources.foreach { s =>
+        val c = TreeOps.copyNode(target, source, s)
+        mode match {
+          case "append" => TreeOps.appendChild(target, t, c)
+          case "replace" => TreeOps.insertBefore(target, t, c)
+          case other => throw new IllegalArgumentException(s"unknown copy mode '$other'")
+        }
+      }
+      if (mode == "replace") TreeOps.removeFromParent(target, t)
+    }
+    NodeSchema.recsToArrayData(target.toRecs)
+  }
+  override def prettyName: String = "dom_copy_selection"
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): DomCopySelection =
+    copy(children = cs)
+}
+
 /** `dom_text(nodes, ids)` → concatenated subtree text of all ids (X6). */
 case class DomText(left: Expression, right: Expression, immediate: Boolean = false)
     extends BinaryExpression with CodegenFallback {
@@ -326,6 +411,19 @@ case class DomMutate(children: Seq[Expression]) extends Expression with CodegenF
     val arg2 = if (a2 == null) null else a2.toString
     val acc = new ArrayDataAccess(nodesVal.asInstanceOf[ArrayData])
     val arena = Arena.fromRecs(acc.toRecs.toSeq)
+    DomMutate.applyOp(arena, plan, opName, arg1, arg2)
+    NodeSchema.recsToArrayData(arena.toRecs)
+  }
+  override def prettyName: String = "dom_mutate"
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): DomMutate =
+    copy(children = cs)
+}
+
+object DomMutate {
+  /** One selector-targeted mutation over a live arena (shared by the
+    * single-op and multi-op expressions). */
+  def applyOp(arena: Arena, plan: List[SelectorAst.Complex], opName: String,
+      arg1: String, arg2: String): Unit = {
     val targets = Engine.select(new graft.css.ArenaAccess(arena), Seq(0), plan)
     targets.foreach { t =>
       opName match {
@@ -349,10 +447,45 @@ case class DomMutate(children: Seq[Expression]) extends Expression with CodegenF
         case other => throw new IllegalArgumentException(s"unknown dom_mutate op '$other'")
       }
     }
+  }
+}
+
+/**
+ * `dom_mutate_ops(nodes, css1, op1, a1, a2, css2, op2, a1, a2, …)` →
+ * a whole mutation PIPELINE in one expression: ONE ArrayData→Arena decode and
+ * ONE rebuild per row regardless of op count (a chain of nested `dom_mutate`
+ * calls pays the round-trip per op). Each op re-selects against the current
+ * arena, so op N sees op N-1's result exactly like chained calls.
+ */
+case class DomMutateOps(children: Seq[Expression]) extends Expression with CodegenFallback {
+  require(children.length > 1 && (children.length - 1) % 4 == 0,
+    "dom_mutate_ops(nodes, (css, op, arg1, arg2)+)")
+  private def opCount = (children.length - 1) / 4
+  @transient private lazy val plans =
+    (0 until opCount).map(i => DomExprUtil.compile(children(1 + 4 * i)))
+  private lazy val opNames =
+    (0 until opCount).map(i => children(2 + 4 * i).eval(InternalRow.empty).toString)
+  override def dataType: DataType = NodeSchema.nodesArrayType
+  override def nullable: Boolean = children.head.nullable
+  override def foldable: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val nodesVal = children.head.eval(input)
+    if (nodesVal == null) return null
+    val acc = new ArrayDataAccess(nodesVal.asInstanceOf[ArrayData])
+    val arena = Arena.fromRecs(acc.toRecs.toSeq)
+    var i = 0
+    while (i < opCount) {
+      val a1 = children(3 + 4 * i).eval(input)
+      val a2 = children(4 + 4 * i).eval(input)
+      DomMutate.applyOp(arena, plans(i), opNames(i),
+        if (a1 == null) null else a1.toString,
+        if (a2 == null) null else a2.toString)
+      i += 1
+    }
     NodeSchema.recsToArrayData(arena.toRecs)
   }
-  override def prettyName: String = "dom_mutate"
-  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): DomMutate =
+  override def prettyName: String = "dom_mutate_ops"
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): DomMutateOps =
     copy(children = cs)
 }
 

@@ -48,6 +48,11 @@ object GraftFunctions {
       val padded = es ++ Seq.fill(5 - es.length)(Literal(null))
       DomMutate(padded)
     }
+    add("dom_mutate_ops")(es => DomMutateOps(es))
+    add("dom_find")(es => DomFind(es(0), es(1)))
+    add("parse_html_meta")(es => ParseHtmlMeta(es.head, fragment = false))
+    add("parse_fragment_meta")(es => ParseHtmlMeta(es.head, fragment = true))
+    add("dom_copy_selection")(es => DomCopySelection(es))
     add("dom_spans")(es => DomSpans(es.head))
     add("dom_validate")(es => DomValidate(es.head))
     add("dom_base_uri")(es => DomBaseUri(es.head))
@@ -96,6 +101,17 @@ object GraftFunctions {
   def dom_mutate(nodes: Column, css: String, op: String,
       arg1: Column = lit(null), arg2: Column = lit(null)): Column =
     call_function("dom_mutate", nodes, lit(css), lit(op), arg1, arg2)
+  /** Multi-op mutation pipeline: one decode/rebuild per row for all ops. */
+  def dom_mutate_ops(nodes: Column, ops: Seq[(String, String, Column, Column)]): Column =
+    call_function("dom_mutate_ops",
+      nodes +: ops.flatMap { case (css, op, a1, a2) => Seq(lit(css), lit(op), a1, a2) }: _*)
+  def dom_find(nodes: Column, path: Seq[String]): Column =
+    call_function("dom_find", nodes, lit(path.mkString(",")))
+  def parse_html_meta(html: Column): Column = call_function("parse_html_meta", html)
+  def parse_fragment_meta(html: Column): Column = call_function("parse_fragment_meta", html)
+  def dom_copy_selection(target: Column, targetCss: String, source: Column,
+      sourceCss: String, mode: String): Column =
+    call_function("dom_copy_selection", target, lit(targetCss), source, lit(sourceCss), lit(mode))
   def dom_spans(nodes: Column): Column = call_function("dom_spans", nodes)
   def dom_validate(nodes: Column): Column = call_function("dom_validate", nodes)
   def dom_base_uri(nodes: Column): Column = call_function("dom_base_uri", nodes)
