@@ -94,8 +94,8 @@ object Bench {
 
     val headline = Seq(
       "q_links", "q_dom_select_tag", "q_dom_text", "q_dom_mutate_class",
-      "q_dom_formatted_text", "q_crawl_schedule", "q_dedup_minhash",
-      "q_text_analysis", "q_ann_topk")
+      "q_dom_mutate_validate", "q_dom_formatted_text", "q_crawl_schedule",
+      "q_dedup_minhash", "q_text_analysis", "q_ann_topk", "q_ann_lsh")
 
     // --- scaling evidence: the same stored-input round at N vs 4N threads ---
     // N=2 vs 4N=8 for the efficiency criterion: this VM's host oversubscribes
@@ -120,23 +120,20 @@ object Bench {
         System.gc() // don't hand the next session a dirty heap
       }
     }
+    // FIXED number of interleaved passes, run unconditionally (no
+    // favorable-looking re-rolls); every pass is reported so the per-N
+    // minimum is auditable against the raw samples
     val ns = Seq(2, 8, 32)
-    val best = scala.collection.mutable.Map[Int, Double]().withDefaultValue(Double.MaxValue)
-    for (pass <- 1 to 2; n <- ns) {
+    val passes = scala.collection.mutable.Map[Int, Vector[Double]]().withDefaultValue(Vector())
+    for (pass <- 1 to 3; n <- ns) {
       val t = oneRun(n, warm = pass == 1 && n == ns.head)
-      if (t < best(n)) best(n) = t
+      passes(n) = passes(n) :+ t
     }
-    // adaptive: if the N→4N reading looks congestion-skewed, buy one more
-    // interleaved pass of the pair before reporting
-    if ((best(2) / best(8)) / 4.0 < 0.78) {
-      Seq(2, 8).foreach { n =>
-        val t = oneRun(n, warm = false)
-        if (t < best(n)) best(n) = t
-      }
-    }
+    val best = ns.map(n => n -> passes(n).min).toMap
     val (secs2, secs8, secs32) = (best(2), best(8), best(32))
     val (thr2, thr8, thr32) = (nUrls / secs2, nUrls / secs8, nUrls / secs32)
-    val eff = (thr8 / thr2) / 4.0
+    val eff28 = (thr8 / thr2) / 4.0
+    val eff832 = (thr32 / thr8) / 4.0
 
     // --- selection-only throughput on STORED parsed pages -------------------
     // apples-to-apples with the reference's headline bench (36.6 µs/query on
@@ -171,22 +168,39 @@ object Bench {
     } catch { case _: Throwable => }
 
     // --- headline queries at the contract parallelism -----------------------
+    // shuffle tally per query: total shuffle-write bytes of the timed run —
+    // the scale-path audit number (id-pair joins should keep this flat
+    // against payload size)
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null) shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+    val shuffleMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     try {
       SparkEntry.queries.filter(q => headline.contains(q._1)).foreach { case (name, fn) =>
         try {
           fn(s, sfDir).write.format("noop").mode("overwrite").save() // warmup
-          results(name) = (1 to 2).map { _ =>
+          results(name) = (1 to 2).map { i =>
+            if (i == 2) { Thread.sleep(200); shuffleWrite.set(0L) } // tally last run only
             val t0 = System.nanoTime()
             fn(s, sfDir).write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9
           }.min
+          Thread.sleep(200) // listener bus drain
+          shuffleMb(name) = shuffleWrite.get() / 1e6
         } catch { case _: Throwable => results(name) = -1.0 }
       }
     } finally { s.stop() }
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val sh = shuffleMb.map { case (k, v) => "\"" + k + f"\":$v%.1f" }.mkString("{", ",", "}")
+    def passArr(n: Int) = passes(n).map(t => f"$t%.2f").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
     println(
-      f"""{"metric":"frontier throughput (URLs scheduled+deduped/sec)","value":$thr32%.0f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","headline_total_sec":$total%.3f,"frontier_urls":$nUrls,"thr_local2":$thr2%.0f,"thr_local8":$thr8%.0f,"thr_local32":$thr32%.0f,"secs_local2":$secs2%.2f,"secs_local8":$secs8%.2f,"secs_local32":$secs32%.2f,"scaling_efficiency_2_to_8":$eff%.3f,"selection_us_per_page":$selUsPerDoc%.1f,"selection_pages":$selDocs,"reference_selection_us":36.6,"scaling_note":"N=2 vs 4N=8 threads; host vCPU oversubscription caps raw 8-to-32 CPU scaling at ~2.6x"}""")
+      f"""{"metric":"frontier throughput (URLs scheduled+deduped/sec)","value":$thr32%.0f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","headline_total_sec":$total%.3f,"shuffle_write_mb":$sh,"frontier_urls":$nUrls,"thr_local2":$thr2%.0f,"thr_local8":$thr8%.0f,"thr_local32":$thr32%.0f,"passes_local2":${passArr(2)},"passes_local8":${passArr(8)},"passes_local32":${passArr(32)},"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"selection_us_per_page":$selUsPerDoc%.1f,"selection_pages":$selDocs,"reference_selection_us":36.6,"scaling_note":"3 interleaved passes per N, per-N min reported with all samples; host vCPU oversubscription caps raw 8-to-32 CPU scaling at ~2.6x, so 2-to-8 is the engine-scaling pair and 8-to-32 carries the congestion caveat"}""")
   }
 }

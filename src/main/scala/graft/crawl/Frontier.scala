@@ -3,6 +3,7 @@ package graft.crawl
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 /**
@@ -82,6 +83,26 @@ object Frontier {
     }
   }
 
+  def bloomExpectedItems(bloomBits: Long): Long = math.max(1000000L, bloomBits / 16)
+
+  /**
+   * URL-seen filter with a CACHED driver-side bloom filter (multi-round crawl
+   * path): the filter is built incrementally — each round merges a small
+   * filter over just that round's newly-seen urls — so per-round cost stays
+   * flat as the seen table grows (a fresh `bloom_filter_agg` over the full
+   * seen set would re-scan 10^10 rows every round). Broadcast once per stage.
+   */
+  def filterUnseenCached(candidates: DataFrame, seen: DataFrame,
+      bloom: BloomFilter): DataFrame = {
+    val bc = candidates.sparkSession.sparkContext.broadcast(bloom)
+    val might = udf((u: String) => bc.value.mightContainString(u))
+    val withFlag = candidates.withColumn("maybe_seen", might(col("url")))
+    val definiteNew = withFlag.filter(!col("maybe_seen")).drop("maybe_seen")
+    val maybeSeen = withFlag.filter(col("maybe_seen")).drop("maybe_seen")
+      .join(seen.select("url"), Seq("url"), "left_anti")
+    definiteNew.unionByName(maybeSeen)
+  }
+
   /**
    * Politeness + priority scheduling (steps 3-4). Returns the scheduled set
    * with per-host `slot` (0-based fetch slot inside the round's host queue).
@@ -143,10 +164,14 @@ object Frontier {
     * marked seen so they never re-enter) and scheduled urls get a
     * token-bucket `ready_s` offset. */
   def round(frontier: DataFrame, seen: DataFrame, budgetPerHost: Int,
-      bloomBits: Long = 0L, robots: Option[DataFrame] = None)
+      bloomBits: Long = 0L, robots: Option[DataFrame] = None,
+      seenBloom: Option[BloomFilter] = None)
       : (DataFrame, DataFrame, DataFrame) = {
     val candidates = dedupCandidates(frontier)
-    val unseenAll = filterUnseen(candidates, seen, bloomBits)
+    val unseenAll = seenBloom match {
+      case Some(b) => filterUnseenCached(candidates, seen, b)
+      case None => filterUnseen(candidates, seen, bloomBits)
+    }
     val unseen = robots match {
       case Some(r) => applyRobots(unseenAll, r).select(unseenAll.columns.map(col): _*)
       case None => unseenAll
@@ -178,11 +203,18 @@ object Frontier {
 
   def writeSnapshot(spark: SparkSession, root: String, roundNo: Int,
       scheduled: DataFrame, seen: DataFrame, frontier: DataFrame,
-      metrics: Map[String, Long]): Unit = {
+      metrics: Map[String, Long], bloomBytes: Option[Array[Byte]] = None): Unit = {
     val dir = snapshotDir(root, roundNo)
     scheduled.write.mode(SaveMode.Overwrite).parquet(s"$dir/scheduled")
     seen.write.mode(SaveMode.Overwrite).parquet(s"$dir/seen")
     frontier.write.mode(SaveMode.Overwrite).parquet(s"$dir/frontier")
+    bloomBytes.foreach { bytes =>
+      Files.createDirectories(Paths.get(dir))
+      val tmp = Paths.get(s"$dir/bloom.bin.tmp")
+      Files.write(tmp, bytes)
+      Files.move(tmp, Paths.get(s"$dir/bloom.bin"), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
     // per-partition lineage: rows per output partition of the scheduled set
     val lineage = scheduled.withColumn("pid", spark_partition_id())
       .groupBy("pid").count().collect()
@@ -230,13 +262,39 @@ object Frontier {
       case Some(r) => readSnapshot(spark, root, r)
       case None => (Seq.empty[String].toDF("url"), seed)
     }
+    // cached URL-seen bloom: loaded from the snapshot on resume, else built
+    // once (from the resumed seen table, or empty on a fresh crawl), then
+    // grown INCREMENTALLY — per-round bloom cost ∝ round size, not seen size
+    val estItems = bloomExpectedItems(bloomBits)
+    var bloom: Option[BloomFilter] =
+      if (bloomBits <= 0) None
+      else start.flatMap { r =>
+        val p = Paths.get(s"${snapshotDir(root, r)}/bloom.bin")
+        if (Files.exists(p)) {
+          val in = Files.newInputStream(p)
+          try Some(BloomFilter.readFrom(in)) finally in.close()
+        } else None
+      }.orElse(Some(start match {
+        case Some(_) => seen.stat.bloomFilter("url", estItems, bloomBits)
+        case None => BloomFilter.create(estItems, bloomBits)
+      }))
+    def bloomBytes: Option[Array[Byte]] = bloom.map { b =>
+      val bos = new java.io.ByteArrayOutputStream()
+      b.writeTo(bos)
+      bos.toByteArray
+    }
     val metricsOut = scala.collection.mutable.ListBuffer[Map[String, Long]]()
     var r = start.map(_ + 1).getOrElse(0)
     val endRound = rounds
     while (r < endRound && !frontier.isEmpty) {
-      val (sched, newSeen, defer) = round(frontier, seen, budgetPerHost, bloomBits)
+      val (sched, newSeen, defer) = round(frontier, seen, budgetPerHost,
+        seenBloom = bloom)
       val schedCached = sched.cache()
       val nSched = schedCached.count()
+      // merge only this round's additions into the cached filter (same
+      // (n, m) parameters → same hash count → mergeable)
+      bloom.foreach(_.mergeInPlace(
+        schedCached.stat.bloomFilter("url", estItems, bloomBits)))
       val discovered = discover(schedCached)
       val nextFrontier = discovered match {
         case Some(d) => defer.unionByName(d)
@@ -248,7 +306,8 @@ object Frontier {
         "scheduled" -> nSched,
         "seen_total" -> newSeenCached.count(),
         "frontier_next" -> nextFrontierCached.count())
-      writeSnapshot(spark, root, r, schedCached, newSeenCached, nextFrontierCached, metrics)
+      writeSnapshot(spark, root, r, schedCached, newSeenCached, nextFrontierCached,
+        metrics, bloomBytes)
       metricsOut += (metrics + ("round" -> r.toLong))
       // reload from the snapshot to truncate lineage (long-loop safety)
       seen = spark.read.parquet(s"${snapshotDir(root, r)}/seen")

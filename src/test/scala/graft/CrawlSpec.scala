@@ -94,6 +94,39 @@ class CrawlSpec extends AnyFunSuite {
     assert(lastSeen == oracleSeen)
   }
 
+  test("cached incremental bloom across rounds + resume: equality holds, bloom persisted") {
+    val (oracleRounds, oracleSeen) =
+      OracleCrawler.crawl(seed, rounds = 4, budgetPerHost = 2, discoverOracle)
+
+    val root = Files.createTempDirectory("crawl_bloom_ck").toString
+    import spark.implicits._
+    val disc = (sched: org.apache.spark.sql.DataFrame) => Some(
+      sched.select(
+        concat(col("url"), lit("/c")).as("url"),
+        col("host"),
+        pmod(col("priority") + 3, lit(5)).cast("int").as("priority"),
+        (col("seq") + 10000).cast("long").as("seq")))
+    // 2 rounds, then "crash", then resume to 4 — the resumed process loads
+    // the persisted filter instead of rebuilding from the seen table
+    Frontier.crawl(spark, root, toDf(seed), rounds = 2, budgetPerHost = 2,
+      bloomBits = 1L << 20, discover = disc)
+    assert(Files.exists(
+      java.nio.file.Paths.get(s"${Frontier.snapshotDir(root, 1)}/bloom.bin")))
+    Frontier.crawl(spark, root, toDf(seed), rounds = 4, budgetPerHost = 2,
+      bloomBits = 1L << 20, discover = disc)
+
+    oracleRounds.zipWithIndex.foreach { case (or, i) =>
+      val sparkRound = spark.read.parquet(s"${Frontier.snapshotDir(root, i)}/scheduled")
+        .orderBy(col("priority").desc, col("seq").asc, col("url").asc)
+        .collect().map(_.getAs[String]("url")).toVector
+      assert(sparkRound == or.scheduled.map(_.url), s"round $i order mismatch (bloom)")
+    }
+    val lastSeen = spark.read
+      .parquet(s"${Frontier.snapshotDir(root, oracleRounds.length - 1)}/seen")
+      .collect().map(_.getString(0)).toSet
+    assert(lastSeen == oracleSeen)
+  }
+
   test("checkpoint resume: restart mid-crawl reproduces identical final state") {
     import spark.implicits._
     val root = Files.createTempDirectory("crawl_resume").toString

@@ -83,6 +83,45 @@ class RealPageSpec extends AnyFunSuite {
     assert(serial == n)
   }
 
+  // examples/pseudo_classes.rs:9-36 — the reference's own showcase selectors
+  // on rustwiki_2024.html; the paradigm list is verifiable from page content
+  test("rustwiki_2024.html: :has / :has-text / :contains showcase selectors") {
+    val d = RealPages.doc("rustwiki_2024.html")
+    val paradigms = d.select(
+      """table tr:has(a[title="Programming paradigm"]) td.infobox-data ul > li""")
+    assert(paradigms.ids.map(i => d.arena.textOf(i)) ==
+      Seq("Concurrent", "functional", "generic", "imperative", "structured"))
+    val influenced = d.select(
+      """table tr:has-text("Influenced by") + tr td  ul > li > a""")
+    assert(influenced.length > 0)
+    val ffi = d.select(
+      """p:contains("Rust has a foreign function interface") a[href^="/"]""")
+    assert(ffi.length > 0)
+    assert(ffi.ids.forall(i => Option(d.acc.attr(i, "href")).exists(_.startsWith("/"))))
+  }
+
+  // descending set-at-a-time evaluation vs the independent ascending
+  // single-node matcher must agree element-for-element on real markup
+  test("all pages: select() agrees with brute-force matches() sweep") {
+    import graft.css.{Engine, SelectorAst}
+    val selectors = Seq("div p", "table td a[href]", "ul > li:nth-child(odd)",
+      "span.rank", "a[href^='http']", "tr + tr", "h2 ~ p", "li:first-child",
+      "div:not(.someclass) > a")
+    for (page <- Seq("page.html", "rustwiki.html", "rustwiki_2024.html",
+        "hacker_news.html", "wisburg.html", "002.html", "mathml.html",
+        "tests_with_siblings.html")) {
+      val d = RealPages.doc(page)
+      assert(d.validate.isEmpty, s"$page failed structural validation")
+      for (css <- selectors) {
+        val plan = SelectorAst.parseCached(css)
+        val got = Engine.select(d.acc, Seq(0), plan).toSet
+        val brute = (0 until d.arena.size)
+          .filter(i => d.arena(i).isElement && Engine.matches(d.acc, i, plan)).toSet
+        assert(got == brute, s"$page '$css': select=${got.size} brute=${brute.size}")
+      }
+    }
+  }
+
   // tests/node-traversal.rs:373-395 — find name-path equals CSS descendant
   // select for these paths on the real page
   test("hacker_news.html: find(body,td,a) == select('body td a')") {
