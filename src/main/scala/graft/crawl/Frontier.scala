@@ -286,7 +286,11 @@ object Frontier {
     val metricsOut = scala.collection.mutable.ListBuffer[Map[String, Long]]()
     var r = start.map(_ + 1).getOrElse(0)
     val endRound = rounds
-    while (r < endRound && !frontier.isEmpty) {
+    // emptiness from the metrics we compute anyway — no extra isEmpty job
+    // per round (only the very first iteration checks the seed directly)
+    var frontierCount = -1L
+    while (r < endRound &&
+        (if (frontierCount >= 0) frontierCount > 0 else !frontier.isEmpty)) {
       val (sched, newSeen, defer) = round(frontier, seen, budgetPerHost,
         seenBloom = bloom)
       val schedCached = sched.cache()
@@ -309,6 +313,7 @@ object Frontier {
       writeSnapshot(spark, root, r, schedCached, newSeenCached, nextFrontierCached,
         metrics, bloomBytes)
       metricsOut += (metrics + ("round" -> r.toLong))
+      frontierCount = metrics("frontier_next")
       // reload from the snapshot to truncate lineage (long-loop safety)
       seen = spark.read.parquet(s"${snapshotDir(root, r)}/seen")
       frontier = spark.read.parquet(s"${snapshotDir(root, r)}/frontier")

@@ -85,15 +85,20 @@ object Similarity {
       }.mkString(" + ")
       concat_ws(":", lit(t), expr(bitExprs))
     }
-    // the bucket join + per-pair distinct shuffle (vec_id, bucket) rows only —
-    // the 64-float embeddings rejoin narrowly after the id-pair dedup
+    // ONE scan computes the signatures (a self-join would evaluate the
+    // 16-hyperplane folds twice); candidates come from per-bucket id lists —
+    // the shuffle carries (bucket, vec_id) rows only, embeddings rejoin
+    // narrowly after the id-pair dedup. LSH bucket sizes are bounded by
+    // construction; a degenerate hot bucket would need a size cap at
+    // extreme scale (log-noted, not silently truncated here).
     val sig = emb.withColumn("buckets", array(tables: _*))
       .select(col("vec_id"), explode(col("buckets")).as("bucket"))
-    val q = sig.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("bucket"))
-    val c = sig.select(col("vec_id").as("neighbor_id"), col("bucket"))
-    val candIds = q.join(c, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id").distinct()
+    val candIds = sig.groupBy("bucket")
+      .agg(collect_list(col("vec_id")).as("ids"))
+      .select(explode(expr(s"filter(ids, i -> i < $nQueries)")).as("query_id"), col("ids"))
+      .select(col("query_id"), explode(col("ids")).as("neighbor_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .distinct()
     val payload = emb.select(col("vec_id"), col("embedding"))
     val cand = candIds
       .join(payload.select(col("vec_id").as("query_id"), col("embedding").as("qv")), Seq("query_id"))

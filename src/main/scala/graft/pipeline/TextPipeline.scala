@@ -132,8 +132,15 @@ object TextPipeline {
     * At scale the band-bucket join bounds fan-out to real near-dup clusters
     * (no all-pairs); the verify step is per-candidate-pair only. */
   def minhashPairs(corpus: DataFrame, minJ: Double): DataFrame = {
-    val sh = withShingles(corpus)
-    val payload = sh.select(col("doc_id"), col("shingles"))
+    // the shingle table is computed ONCE and persisted for its three
+    // consumers (band generation + the two payload rejoins) — the in-query
+    // analog of the signature table a 100 TB pipeline materializes to
+    // storage. Without it each branch re-runs the expensive per-word hash
+    // folds over the full corpus. CacheManager dedupes identical plans
+    // across calls; ContextCleaner reclaims the entry.
+    val sh = withShingles(corpus).select(col("doc_id"), col("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val payload = sh
     val bands = sh
       .withColumn("sig", expr(minhashSigSql("shingles")))
       .select(col("doc_id"),
@@ -162,8 +169,10 @@ object TextPipeline {
     * Co-partitions on the shingle key; candidate set bounded by shared
     * shingles, not all pairs. */
   def ngramJaccardPairs(corpus: DataFrame, minJ: Double): DataFrame = {
-    val sh = withShingles(corpus)
-    val payload = sh.select(col("doc_id"), col("shingles"))
+    // see minhashPairs: one persisted shingle table for all three consumers
+    val sh = withShingles(corpus).select(col("doc_id"), col("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val payload = sh
     val inv = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
     // inverted-index join on (doc_id, shingle) rows only; the shingle-array
     // payloads rejoin after the id-pair distinct
@@ -183,11 +192,14 @@ object TextPipeline {
   /** SimHash near-dup pairs: 32-bit signature, 4 byte-bands; candidates share
     * a band; verified with hamming distance ≤ maxHam. */
   def simhashPairs(corpus: DataFrame, maxHam: Int): DataFrame = {
+    // one persisted (doc_id, sim) signature table for band generation + the
+    // two payload rejoins (see minhashPairs)
     val sig = corpus
       .withColumn("toks", expr(tokensSql("text")))
       .withColumn("th", expr(s"transform(toks, w -> ${wordHashSql("w")})"))
       .withColumn("sim", expr(simhashSql("th")))
       .select("doc_id", "sim")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sig.select(col("doc_id"),
         posexplode(expr(
           "transform(sequence(0, 3), b -> concat_ws(':', b, (sim div shiftleft(1L, 8*b)) % 256))")))
