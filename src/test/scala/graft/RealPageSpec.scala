@@ -122,6 +122,50 @@ class RealPageSpec extends AnyFunSuite {
     }
   }
 
+  // tests/selection-manipulation.rs:20-62 — mutation differentials on the
+  // real tests_with_siblings.html page (uppercase <BODY>, mixed classes)
+  test("tests_with_siblings.html: replace_with_html on #main,#foot") {
+    val d = RealPages.doc("tests_with_siblings.html")
+    d.select("#main,#foot").replaceWithHtml("""<div class="replace"></div>""")
+    assert(d.select(".replace").length == 2)
+    assert(d.validate.isEmpty)
+  }
+
+  test("tests_with_siblings.html: set_html replaces children, keeps nodes") {
+    val d = RealPages.doc("tests_with_siblings.html")
+    val q = d.select("#main, #foot")
+    q.setHtml("""<div id="replace">test</div>""")
+    assert(d.select("#replace").length == 2)
+    assert(d.select("#main, #foot").length == 2)
+    assert(q.text == "testtest")
+    assert(d.validate.isEmpty)
+    // no-match set_html is a no-op (selection-manipulation.rs:44-51)
+    val d2 = RealPages.doc("tests_with_siblings.html")
+    d2.select("#notthere").setHtml("""<div id="replace">test</div>""")
+    assert(d2.select("#replace").length == 0)
+    // set_html("") empties children, keeps the node (node-manipulation.rs:797-806)
+    val d3 = RealPages.doc("tests_with_siblings.html")
+    d3.select("#main").setHtml("")
+    assert(d3.select("#main").length == 1)
+    assert(d3.select("#main").children.length == 0)
+    assert(d3.validate.isEmpty)
+  }
+
+  // tests/selection-property.rs:42-75
+  test("tests_with_siblings.html: attr ops over the div selection") {
+    val d = RealPages.doc("tests_with_siblings.html")
+    val sel = d.select("div")
+    assert(sel.attr("id").contains("main"))
+    sel.removeAttr("id")
+    assert(sel.attr("id").isEmpty)
+    val d2 = RealPages.doc("tests_with_siblings.html")
+    d2.select("div").removeAttr("") // empty key: no-op
+    assert(d2.select("div").attr("id").isDefined)
+    val m = d2.select("#main")
+    m.setAttr("id", "not-main")
+    assert(m.attr("id").contains("not-main"))
+  }
+
   // tests/node-traversal.rs:373-395 — find name-path equals CSS descendant
   // select for these paths on the real page
   test("hacker_news.html: find(body,td,a) == select('body td a')") {
