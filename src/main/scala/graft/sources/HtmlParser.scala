@@ -103,33 +103,38 @@ object HtmlParser {
             flushText()
             var j = i + 2
             while (j < n && html.charAt(j) != '>') j += 1
-            val raw = html.substring(i + 2, if (j < n) j else n)
-            val name = raw.takeWhile(ch => !Character.isWhitespace(ch)).toLowerCase
-            if (name == "br") toks += TStart("br", Nil, selfClosing = false) // spec: </br> acts as <br>
-            else toks += TEnd(name)
-            i = if (j < n) j + 1 else n
+            if (j < n) {
+              val raw = html.substring(i + 2, j)
+              val name = raw.takeWhile(ch => !Character.isWhitespace(ch)).toLowerCase
+              if (name == "br") toks += TStart("br", Nil, selfClosing = false) // spec: </br> acts as <br>
+              else toks += TEnd(name)
+              i = j + 1
+            } else i = n // eof-in-tag: the token is dropped (html5ever)
           } else { text.append(c); i += 1 }
         } else if (isNameStart(c1)) {
           flushText()
-          val (tok, next) = parseStartTag(html, i)
-          toks += tok
-          i = next
-          tok match {
-            case TStart(name, _, false) if RawTextElements(name) || RcdataElements(name) =>
-              // consume raw text until the matching close tag — manual
-              // case-insensitive scan (a compiled regex per element instance
-              // dominated tokenizer cost)
-              val rawEnd = findCloseTag(html, i, name)
-              val stop = if (rawEnd == -1) n else rawEnd
-              val raw = html.substring(i, stop)
-              val content = if (RcdataElements(name)) Entities.decode(raw) else raw
-              if (content.nonEmpty) toks += TText(content)
-              if (rawEnd != -1) {
-                val gt = html.indexOf('>', rawEnd)
-                toks += TEnd(name)
-                i = if (gt == -1) n else gt + 1
-              } else i = n
-            case _ =>
+          val (tok, next, closed) = parseStartTag(html, i)
+          if (!closed) { i = n } // eof-in-tag: drop the token (html5ever fuzz golden)
+          else {
+            toks += tok
+            i = next
+            tok match {
+              case TStart(name, _, false) if RawTextElements(name) || RcdataElements(name) =>
+                // consume raw text until the matching close tag — manual
+                // case-insensitive scan (a compiled regex per element instance
+                // dominated tokenizer cost)
+                val rawEnd = findCloseTag(html, i, name)
+                val stop = if (rawEnd == -1) n else rawEnd
+                val raw = html.substring(i, stop)
+                val content = if (RcdataElements(name)) Entities.decode(raw) else raw
+                if (content.nonEmpty) toks += TText(content)
+                if (rawEnd != -1) {
+                  val gt = html.indexOf('>', rawEnd)
+                  toks += TEnd(name)
+                  i = if (gt == -1) n else gt + 1
+                } else i = n
+              case _ =>
+            }
           }
         } else { text.append(c); i += 1 }
       } else { text.append(c); i += 1 }
@@ -186,7 +191,7 @@ object HtmlParser {
     TDoctype(name, publicId, systemId)
   }
 
-  private def parseStartTag(html: String, start: Int): (TStart, Int) = {
+  private def parseStartTag(html: String, start: Int): (TStart, Int, Boolean) = {
     val n = html.length
     var i = start + 1
     val nameSb = new java.lang.StringBuilder
@@ -197,15 +202,16 @@ object HtmlParser {
     val attrs = mutable.ListBuffer[(String, String)]()
     val seen = mutable.HashSet[String]()
     var selfClosing = false
+    var closed = false
     var done = false
     while (!done && i < n) {
       while (i < n && Character.isWhitespace(html.charAt(i))) i += 1
       if (i >= n) done = true
       else html.charAt(i) match {
-        case '>' => i += 1; done = true
+        case '>' => i += 1; done = true; closed = true
         case '/' =>
           i += 1
-          if (i < n && html.charAt(i) == '>') { selfClosing = true; i += 1; done = true }
+          if (i < n && html.charAt(i) == '>') { selfClosing = true; i += 1; done = true; closed = true }
         case _ =>
           val kSb = new java.lang.StringBuilder
           while (i < n && !Character.isWhitespace(html.charAt(i)) &&
@@ -238,7 +244,7 @@ object HtmlParser {
           if (key.nonEmpty && !seen(key)) { seen += key; attrs += (key -> value) }
       }
     }
-    (TStart(name, attrs.toList, selfClosing), i)
+    (TStart(name, attrs.toList, selfClosing), i, closed)
   }
 
   // --- Tree builder --------------------------------------------------------
@@ -963,6 +969,9 @@ object HtmlParser {
         quirks = "no-quirks"
       }
       tokenize(html).foreach(handle)
+      // html5ever emits the html/head/body scaffold at EOF even for empty or
+      // garbage input (test_html_root: Document::from("") has an html root)
+      if (!fragment) ensureBody()
       arena.errors = errors.toList
       arena.quirksMode = quirks
       arena
@@ -1065,6 +1074,14 @@ object Entities {
     "sup3" -> "³", "ouml" -> "ö", "auml" -> "ä", "uuml" -> "ü",
     "szlig" -> "ß", "eacute" -> "é", "egrave" -> "è", "agrave" -> "à")
 
+  /** Legacy named entities decoded even WITHOUT a trailing semicolon (the
+    * HTML5 "missing semicolon" set we support; html5ever golden
+    * `<base foo=&amp>` → `&`). Only when not followed by [A-Za-z0-9=]. */
+  private val legacy: Map[String, String] = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+    "nbsp" -> " ", "copy" -> "©", "reg" -> "®")
+  private val legacyMaxLen = legacy.keys.map(_.length).max
+
   def decode(s: String): String = {
     if (s.indexOf('&') == -1) return s
     val sb = new java.lang.StringBuilder(s.length)
@@ -1074,19 +1091,34 @@ object Entities {
       val c = s.charAt(i)
       if (c == '&') {
         val semi = s.indexOf(';', i + 1)
+        var handled = false
         if (semi != -1 && semi - i <= 12) {
           val ent = s.substring(i + 1, semi)
           if (ent.startsWith("#x") || ent.startsWith("#X")) {
-            try { sb.appendCodePoint(Integer.parseInt(ent.substring(2), 16)); i = semi + 1 }
-            catch { case _: Exception => sb.append(c); i += 1 }
+            try { sb.appendCodePoint(Integer.parseInt(ent.substring(2), 16)); i = semi + 1; handled = true }
+            catch { case _: Exception => }
           } else if (ent.startsWith("#")) {
-            try { sb.appendCodePoint(Integer.parseInt(ent.substring(1))); i = semi + 1 }
-            catch { case _: Exception => sb.append(c); i += 1 }
+            try { sb.appendCodePoint(Integer.parseInt(ent.substring(1))); i = semi + 1; handled = true }
+            catch { case _: Exception => }
           } else named.get(ent) match {
-            case Some(v) => sb.append(v); i = semi + 1
-            case None => sb.append(c); i += 1
+            case Some(v) => sb.append(v); i = semi + 1; handled = true
+            case None =>
           }
-        } else { sb.append(c); i += 1 }
+        }
+        if (!handled) {
+          // semicolon-less legacy entity: longest match, not followed by
+          // an alphanumeric or '='
+          var len = math.min(legacyMaxLen, n - i - 1)
+          var hit = -1
+          while (hit == -1 && len >= 2) {
+            if (legacy.contains(s.substring(i + 1, i + 1 + len)) &&
+                (i + 1 + len >= n || { val nx = s.charAt(i + 1 + len)
+                  !Character.isLetterOrDigit(nx) && nx != '=' })) hit = len
+            else len -= 1
+          }
+          if (hit != -1) { sb.append(legacy(s.substring(i + 1, i + 1 + hit))); i += 1 + hit }
+          else { sb.append(c); i += 1 }
+        }
       } else { sb.append(c); i += 1 }
     }
     sb.toString
@@ -1106,12 +1138,16 @@ object Entities {
     sb.toString
   }
 
-  /** Escape attribute values (`&`, `"`, U+00A0). */
+  /** Escape attribute values (`&`, `"`, U+00A0, plus `<`/`>` — html5ever
+    * hardens attribute serialization against mutation-XSS; golden
+    * `<base foo="<'>">` → `foo="&lt;'&gt;"`). */
   def escapeAttr(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)
     s.foreach {
       case '&' => sb.append("&amp;")
       case '"' => sb.append("&quot;")
+      case '<' => sb.append("&lt;")
+      case '>' => sb.append("&gt;")
       case ' ' => sb.append("&nbsp;")
       case c => sb.append(c)
     }

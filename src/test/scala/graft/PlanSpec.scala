@@ -111,6 +111,22 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("minhash candidate shuffle carries id pairs only; shingles persisted once") {
+    import spark.implicits._
+    val corpus = (0 until 200)
+      .map(i => (i.toLong, s"word${i % 37} and some shared text body number ${i % 9} tail"))
+      .toDF("doc_id", "text")
+    val pairs = TextPipeline.minhashPairs(corpus, 0.6)
+    val p = plan(pairs)
+    // the shingle table is a single persisted relation feeding all branches
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"shingle table not persisted (would recompute per branch):\n$p")
+    // the band-join + distinct shuffles must NOT carry the shingle arrays:
+    // every hashpartitioning on band/doc-id pair keys is over narrow rows
+    val badExchange = "hashpartitioning\\((?:band|id_a)[^\\n]*shingles".r.findFirstIn(p)
+    assert(badExchange.isEmpty, s"candidate shuffle carries shingle payload:\n$p")
+  }
+
   test("politeness window is two-phase (salted partial then exact per-host)") {
     import spark.implicits._
     val unseen = (0 until 1000)
