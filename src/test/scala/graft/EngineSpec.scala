@@ -468,6 +468,19 @@ class EngineSpec extends AnyFunSuite {
     assert(d2.text == "123")
   }
 
+  test("Noah's ark: at most 3 identical formatting entries reconstruct") {
+    // 7 unclosed identical <b> inside the first paragraph; closing the p pops
+    // them off the stack but they stay in the active formatting list, where
+    // the Noah's ark clause caps identical (name, attrs) entries at 3 — so
+    // the next paragraph reconstructs exactly 3 nested b's, not 7
+    val d = Doc.parse("<p><b><b><b><b><b><b><b>x</p><p>y</p>")
+    val y = d.select("p:last-child")
+    assert(y.text == "y")
+    assert(d.select("b b b p:last-child").length == 1)
+    assert(d.select("b b b b p:last-child").length == 0)
+    assert(d.validate.isEmpty)
+  }
+
   test("foster parenting: table-illegal content moves before the table") {
     val d = Doc.parse("<table>foo<tr><td>bar</td></tr></table>")
     // "foo" is fostered out; the table keeps only its legal structure

@@ -22,6 +22,28 @@ object SelBench {
     }
     run(2000) // warmup
     println(f"SELECT_US_PER_QUERY=${run(5000)}%.1f")
+    // decomposed serial select (reference selection/serial: 16.4 µs)
+    def runSerial(n: Int): Double = {
+      val t0 = System.nanoTime()
+      var acc = 0
+      (0 until n).foreach { _ =>
+        acc += doc.selectSingle("body").select("td.title").select("a[href]").ids.length
+      }
+      if (acc < 0) println("?")
+      (System.nanoTime() - t0) / 1e3 / n
+    }
+    runSerial(2000)
+    println(f"SERIAL_US_PER_QUERY=${runSerial(5000)}%.1f")
+    // name-path find (reference selection/find: 7.9 µs)
+    def runFind(n: Int): Double = {
+      val t0 = System.nanoTime()
+      var acc = 0
+      (0 until n).foreach(_ => acc += doc.find(Seq("body", "td", "a")).ids.length)
+      if (acc < 0) println("?")
+      (System.nanoTime() - t0) / 1e3 / n
+    }
+    runFind(4000)
+    println(f"FIND_US_PER_QUERY=${runFind(10000)}%.1f")
     // parse cost
     val t0 = System.nanoTime()
     (0 until 2000).foreach(_ => Doc.parse(html))
