@@ -74,6 +74,13 @@ final class Sel(val doc: Doc, val ids: Seq[Int]) {
   def select(css: String): Sel =
     new Sel(doc, Engine.select(acc, ids, SelectorAst.parseCached(css)).toSeq)
 
+  /** First sub-select match only (`selection.rs` select_single,
+    * `tests/selection-traversal.rs:167-175`). */
+  def selectSingle(css: String): Sel = {
+    val f = Engine.selectFirst(acc, ids, SelectorAst.parseCached(css))
+    new Sel(doc, if (f == -1) Nil else Seq(f))
+  }
+
   def filter(css: String): Sel = {
     val list = SelectorAst.parseCached(css)
     new Sel(doc, ids.filter(i => Engine.matches(acc, i, list)))

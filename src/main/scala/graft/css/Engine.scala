@@ -171,10 +171,26 @@ object Engine {
     frontier.toArray
   }
 
-  /** First match only (Q2) — document-order first. */
+  /** First match only (Q2) — document-order first. From the document root
+    * this is a lazy preorder scan with ascending matching that stops at the
+    * first hit (the reference's `Matches` iterator semantics) — for early
+    * matches it does a small fraction of the full select's work. From
+    * sub-roots it falls back to the full descending select (ascending
+    * matching would let the leftmost compound match ABOVE the sub-root). */
   def selectFirst(acc: NodeAccess, roots: Seq[Int], list: List[Complex]): Int = {
-    val all = select(acc, roots, list)
-    if (all.isEmpty) -1 else all(0)
+    if (roots == Seq(0)) {
+      val stack = new IntStack()
+      pushChildrenReversed(acc, 0, stack)
+      while (stack.nonEmpty) {
+        val cur = stack.pop()
+        if (acc.isElement(cur) && matches(acc, cur, list)) return cur
+        pushChildrenReversed(acc, cur, stack)
+      }
+      -1
+    } else {
+      val all = select(acc, roots, list)
+      if (all.isEmpty) -1 else all(0)
+    }
   }
 
   /** Does node `i` itself match any selector in the list (Q4/Q8 `is`)? */

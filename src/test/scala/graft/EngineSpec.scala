@@ -468,6 +468,15 @@ class EngineSpec extends AnyFunSuite {
     assert(d2.text == "123")
   }
 
+  test("chained select_single (tests/selection-traversal.rs:167-175)") {
+    val d = Doc.parse(Fixtures.LIST)
+    assert(d.select("div").selectSingle(".list").length == 1)
+    assert(d.select("div").select(".list").length == 2)
+    assert(d.selectSingle(".list").length == 1)
+    // first match in document order: the single selection's text is 123
+    assert(d.select("div").selectSingle(".list").text == "123")
+  }
+
   test("Noah's ark: at most 3 identical formatting entries reconstruct") {
     // 7 unclosed identical <b> inside the first paragraph; closing the p pops
     // them off the stack but they stay in the active formatting list, where
