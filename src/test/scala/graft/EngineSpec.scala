@@ -473,8 +473,8 @@ class EngineSpec extends AnyFunSuite {
     assert(d.select("div").selectSingle(".list").length == 1)
     assert(d.select("div").select(".list").length == 2)
     assert(d.selectSingle(".list").length == 1)
-    // first match in document order: the single selection's text is 123
-    assert(d.select("div").selectSingle(".list").text == "123")
+    // first match in document order: the single selection is the 1-2-3 list
+    assert(d.select("div").selectSingle(".list").text.replaceAll("\\s+", "") == "123")
   }
 
   test("Noah's ark: at most 3 identical formatting entries reconstruct") {
