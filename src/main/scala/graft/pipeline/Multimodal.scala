@@ -50,17 +50,36 @@ object Multimodal {
     (bytes.length, acc)
   }
 
+  /** Rows per decode batch: a real codec amortizes model/codec init and
+    * vectorizes across a batch (the Scala analog of mapInPandas' Arrow
+    * batches). */
+  val DecodeBatchSize = 256
+
   def withDecoded(media: DataFrame): DataFrame = {
-    val decodeUdf = udf { bytes: Array[Byte] =>
-      val (n, checksum) = decodeStub(bytes)
-      (n, checksum)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val in = media.select(col("doc_id"), col("media_ref"), col("media_type"),
+      col("meta.width").as("width"), col("meta.height").as("height"), col("payload"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("media_ref", StringType),
+      StructField("media_type", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_bytes", LongType),
+      StructField("checksum", LongType)))
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    // per-partition, per-batch decode — the batch loop is where a real codec
+    // runs once per DecodeBatchSize payloads instead of once per row
+    in.mapPartitions { rows =>
+      rows.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val (n, checksum) = decodeStub(r.getAs[Array[Byte]]("payload"))
+          Row(r.getLong(0), r.getString(1), r.getString(2),
+            r.getInt(3), r.getInt(4), n.toLong, checksum)
+        }
+      }
     }
-    media
-      .withColumn("decoded", decodeUdf(col("payload")))
-      .select(col("doc_id"), col("media_ref"), col("media_type"),
-        col("meta.width").as("width"), col("meta.height").as("height"),
-        col("decoded._1").cast("long").as("n_bytes"),
-        col("decoded._2").as("checksum"))
   }
 
   /** Resize = pure metadata transform (no pixel work in the plan until the
