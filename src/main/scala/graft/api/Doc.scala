@@ -40,6 +40,18 @@ final class Doc(val arena: Arena) {
     if (f == -1) None else Option(acc.attr(f, "href"))
   }
 
+  /** html5ever's MathML `annotation-xml` HTML-integration-point flag,
+    * derived from name + encoding attr (reference stores it at parse time,
+    * `dom_tree/tree.rs:115-121`, `node/node_data.rs:79`). */
+  def isMathmlAnnotationXmlIntegrationPoint(id: Int): Boolean = {
+    val nd = arena(id)
+    nd.isElement && nd.name == "annotation-xml" &&
+      nd.attr("encoding").exists { e =>
+        val l = e.toLowerCase
+        l == "text/html" || l == "application/xhtml+xml"
+      }
+  }
+
   def htmlRoot: Option[Int] = arena.htmlRoot
   def body: Sel = selectSingle("html > body")
   def head: Sel = selectSingle("html > head")

@@ -122,6 +122,17 @@ class RealPageSpec extends AnyFunSuite {
     }
   }
 
+  // tests/node-traversal.rs:653-665
+  test("mathml.html: annotation-xml HTML integration point") {
+    val d = RealPages.doc("mathml.html")
+    val sel = d.selectSingle("""math annotation-xml[encoding="application/xhtml+xml"]""")
+    assert(sel.length == 1)
+    assert(d.isMathmlAnnotationXmlIntegrationPoint(sel.ids.head))
+    // a plain math element is not an integration point
+    val m = d.selectSingle("math")
+    assert(!d.isMathmlAnnotationXmlIntegrationPoint(m.ids.head))
+  }
+
   // tests/selection-manipulation.rs:20-62 — mutation differentials on the
   // real tests_with_siblings.html page (uppercase <BODY>, mixed classes)
   test("tests_with_siblings.html: replace_with_html on #main,#foot") {
