@@ -680,6 +680,26 @@ object HtmlParser {
       else if (inTableScope("th")) { generateImplied(); popThrough("th") }
     }
 
+    /** Nearest enclosing table/template boundary for table-structure tokens
+      * (templates may host bare rows/cells — `<template><tr>…`). */
+    private def nearestTableHost(): String = {
+      var i = stack.length - 1
+      while (i >= 0) {
+        val nm = stack(i).name
+        if (nm == "table" || nm == "template" ||
+            nm == "#root" || nm == "#fragment-html") return nm
+        i -= 1
+      }
+      "#root"
+    }
+
+    /** HTML5 "clear the stack back to a table/row/body context": pop open
+      * elements (e.g. stray formatting) until a context element. */
+    private def clearToContext(stops: Set[String]): Unit =
+      while (stack.length > floor && !stops(top.name) &&
+          top.name != "#root" && top.name != "#fragment-html" &&
+          top.name != "html" && top.name != "body") popTop()
+
     private def closeImplied(incoming: String): Unit = {
       if (ClosesP(incoming) && inButtonScope("p")) {
         generateImplied(except = "p")
@@ -700,14 +720,19 @@ object HtmlParser {
         case "tr" =>
           closeCellIfOpen()
           if (inTableScope("tr")) popThrough("tr")
-        case "td" | "th" => closeCellIfOpen()
+          else clearToContext(Set("tbody", "tfoot", "thead", "table", "template"))
+        case "td" | "th" =>
+          closeCellIfOpen()
+          clearToContext(Set("tr", "tbody", "tfoot", "thead", "table", "template"))
         case s if TableSections(s) =>
           closeCellIfOpen()
           if (inTableScope("tr")) popThrough("tr")
           if (TableSections(top.name)) popTop()
+          clearToContext(Set("table", "template"))
         case "caption" | "colgroup" | "col" =>
           closeCellIfOpen()
           if (incoming != "caption" && inTableScope("tr")) popThrough("tr")
+          clearToContext(Set("table", "template"))
         case "table" =>
           // <table> while directly in table context closes the current table
           if (TableContext(top.name) && inTableScope("table")) popThrough("table")
@@ -765,8 +790,19 @@ object HtmlParser {
 
     // --- token dispatch --------------------------------------------------------------
 
+    private val TableStructure = Set(
+      "caption", "col", "colgroup", "tbody", "td", "tfoot", "th", "thead", "tr")
+
     private def startTagInBody(name: String, attrs: List[(String, String)],
         selfClosing: Boolean): Unit = {
+      // table-structure tags outside any table/template are IGNORED per the
+      // HTML5 "in body" rules (html5ever drops a bare <tr> in a div)
+      if (TableStructure(name)) {
+        nearestTableHost() match {
+          case "table" | "template" => ()
+          case _ => error(s"ignored <$name> outside table"); return
+        }
+      }
       closeImplied(name)
       if (name == "a" && afe.exists(e => e != null && e.name == "a")) {
         // spec: a nested <a> runs the adoption agency for the open one
@@ -784,7 +820,10 @@ object HtmlParser {
       val inTableCtx = TableContext(top.name)
       val hiddenInput = name == "input" &&
         attrs.exists { case (k, v) => k == "type" && v.equalsIgnoreCase("hidden") }
-      if (!inTableCtx || (!TableLegal(name) && !hiddenInput)) reconstructAfe()
+      // table-structure tokens never reconstruct formatting (the in-table/
+      // in-row/in-cell modes insert structure directly)
+      if (!TableStructure(name) &&
+          (!inTableCtx || (!TableLegal(name) && !hiddenInput))) reconstructAfe()
       val fosterNow = TableContext(top.name) && !TableLegal(name) && !hiddenInput
       if (fosterNow) error(s"fostered <$name> out of table")
       val id = arena.createElement(name, attrs)

@@ -87,6 +87,86 @@ class PropertySpec extends AnyFunSuite {
     case OpNormalize() => TreeOps.normalize(a, 0)
   }
 
+  /** Token soup: arbitrary interleavings of open/close/void/formatting/table
+    * tags, rawtext, comments, half-finished entities and stray brackets —
+    * the input shape a crawler actually sees. */
+  val genSoup: Gen[String] = {
+    val soupTag = Gen.oneOf("div", "p", "b", "i", "a", "table", "tr", "td",
+      "ul", "li", "span", "em", "h1", "pre", "select", "option", "template",
+      "svg", "br", "img", "script", "title")
+    val piece: Gen[String] = Gen.frequency(
+      4 -> word,
+      4 -> soupTag.map(t => s"<$t>"),
+      4 -> soupTag.map(t => s"</$t>"),
+      1 -> soupTag.map(t => s"<$t class='c x' id=z data-k=1>"),
+      1 -> Gen.const("<!-- c -->"),
+      1 -> Gen.const("&amp; &bogus; &#65; &lt"),
+      1 -> Gen.const("< 3 > & </ nope"),
+      1 -> Gen.const("<b><i><u>"),
+      1 -> Gen.const("</i></b></u>"))
+    for {
+      n <- Gen.choose(1, 40)
+      ps <- Gen.listOfN(n, piece)
+    } yield ps.mkString(" ")
+  }
+
+  test("parser fuzz: token soup never throws, always yields a valid tree") {
+    forAll(genSoup, 300) { soup =>
+      for ((doc, reparse) <- Seq[(Doc, String => Doc)](
+          (Doc.parse(soup), Doc.parse _),
+          (Doc.fragment(soup), Doc.fragment _))) {
+        assert(doc.validate.isEmpty, s"invalid tree for soup: $soup")
+        // every node reachable exactly once; derived columns computable
+        val recs = doc.toRecs
+        assert(recs.nonEmpty)
+        // serialization fixpoint: reparse (same mode) serializes identically
+        // (idempotent normal form — what makes stored HTML stable at rest)
+        val once = doc.html
+        val twice = reparse(once).html
+        assert(twice == once, s"serialization not a fixpoint for soup: $soup")
+      }
+    }
+  }
+
+  /** Richer soup incl. select/form/doctype-midstream/PI and misnesting
+    * storms. The serialization FIXPOINT deliberately isn't asserted here:
+    * the adoption agency can legitimately produce DOMs (e.g. <a> nested in
+    * <a> via reparenting) whose serialization reparses differently — true
+    * for html5ever as well. Structural validity and total recovery must
+    * still always hold. */
+  val genRichSoup: Gen[String] = {
+    val soupTag = Gen.oneOf("div", "p", "b", "i", "a", "table", "tr", "td",
+      "ul", "li", "span", "em", "h1", "pre", "select", "option", "template",
+      "svg", "br", "img", "script", "title", "form", "dl", "dt", "dd",
+      "caption", "colgroup", "thead", "button", "nobr")
+    val piece: Gen[String] = Gen.frequency(
+      4 -> Gen.oneOf("alpha", "beta", "x", "<", "&", "]]>"),
+      5 -> soupTag.map(t => s"<$t>"),
+      5 -> soupTag.map(t => s"</$t>"),
+      1 -> soupTag.map(t => s"<$t class='c x' id=z>"),
+      1 -> Gen.const("<!-- c -->"),
+      1 -> Gen.const("&amp; &bogus; &#65; &lt &#x41;"),
+      1 -> Gen.const("<b><i><u><a href=x>"),
+      1 -> Gen.const("</a></i></b></u>"),
+      1 -> Gen.const("<!doctype html>"),
+      1 -> Gen.const("<?pi >"))
+    for { n <- Gen.choose(1, 60); ps <- Gen.listOfN(n, piece) } yield ps.mkString(" ")
+  }
+
+  test("parser fuzz (rich): recovery is total and trees stay valid") {
+    forAll(genRichSoup, 200) { soup =>
+      for (doc <- Seq(Doc.parse(soup), Doc.fragment(soup))) {
+        assert(doc.validate.isEmpty, s"invalid tree for soup: $soup")
+        assert(doc.toRecs.nonEmpty)
+        // re-serialization of the reparse must itself be stable (even when
+        // parse∘serialize isn't a fixpoint, serialize∘parse∘serialize is)
+        val once = doc.html
+        val d2 = Doc.parse(once)
+        assert(d2.validate.isEmpty)
+      }
+    }
+  }
+
   test("random mutation sequences keep the tree structurally valid (C4)") {
     forAll(genHtml, Gen.listOfN(12, genOp)) { (html, ops) =>
       val doc = Doc.parse(html)
