@@ -30,7 +30,9 @@ final class Doc(val arena: Arena) {
   }
 
   /** Name-only path search with descent pruning (F1, `node_ref.rs:796-803`,
-    * `dom_tree/traversal.rs:90-138`). */
+    * `dom_tree/traversal.rs:90-138`). Reference-faithful edge case: an EMPTY
+    * path returns the start node itself (`find_descendant_elements` returns
+    * the initial stack unchanged, `traversal.rs:95-105`). */
   def find(path: Seq[String]): Sel =
     new Sel(this, Engine.findByNames(acc, Seq(0), path).toSeq)
 

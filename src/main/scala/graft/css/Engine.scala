@@ -345,7 +345,11 @@ object Engine {
     case PAttrExists(k) => acc.hasAttr(i, k)
     case PAttr(k, op, v, ci) =>
       val ev = acc.attr(i, k)
-      ev != null && (if (ci) attrOpMatch(ev.toLowerCase, op, v.toLowerCase)
+      // Locale.ROOT: ASCII-stable folding (default-locale toLowerCase turns
+      // 'I' into dotless ı under tr_TR — selector semantics must not vary
+      // by platform)
+      ev != null && (if (ci) attrOpMatch(ev.toLowerCase(java.util.Locale.ROOT), op,
+                       v.toLowerCase(java.util.Locale.ROOT))
                      else attrOpMatch(ev, op, v))
     case PNth(a, b, fromEnd, ofType) =>
       val pos =

@@ -74,9 +74,14 @@ object Multimodal {
     in.mapPartitions { rows =>
       rows.grouped(DecodeBatchSize).flatMap { batch =>
         batch.iterator.map { r =>
-          val (n, checksum) = decodeStub(r.getAs[Array[Byte]]("payload"))
-          Row(r.getLong(0), r.getString(1), r.getString(2),
-            r.getInt(3), r.getInt(4), n.toLong, checksum)
+          val payload = if (r.isNullAt(5)) Array.empty[Byte] else r.getAs[Array[Byte]](5)
+          val (n, checksum) = decodeStub(payload)
+          Row(if (r.isNullAt(0)) null else r.getLong(0),
+            if (r.isNullAt(1)) null else r.getString(1),
+            if (r.isNullAt(2)) null else r.getString(2),
+            if (r.isNullAt(3)) null else r.getInt(3),
+            if (r.isNullAt(4)) null else r.getInt(4),
+            n.toLong, checksum)
         }
       }
     }

@@ -137,7 +137,10 @@ object TextPipeline {
     // analog of the signature table a 100 TB pipeline materializes to
     // storage. Without it each branch re-runs the expensive per-word hash
     // folds over the full corpus. CacheManager dedupes identical plans
-    // across calls; ContextCleaner reclaims the entry.
+    // across calls (re-running the same corpus reuses the entry); distinct
+    // corpora each hold one entry until evicted — a long-lived session
+    // running dedup over MANY corpora should unpersist after consuming the
+    // result, or materialize signatures to a table instead.
     val sh = withShingles(corpus).select(col("doc_id"), col("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val payload = sh

@@ -705,12 +705,16 @@ object HtmlParser {
         generateImplied(except = "p")
         popThrough("p")
       }
+      def closeP(): Unit =
+        if (inButtonScope("p")) { generateImplied(except = "p"); popThrough("p") }
       incoming match {
         case "li" =>
           if (inListScope("li")) { generateImplied(except = "li"); popThrough("li") }
+          closeP() // spec li step 3: also close an open <p> in button scope
         case "dt" | "dd" =>
           if (inScope("dt")) { generateImplied(except = "dt"); popThrough("dt") }
           else if (inScope("dd")) { generateImplied(except = "dd"); popThrough("dd") }
+          closeP()
         case "option" => if (top.name == "option") popTop()
         case "optgroup" =>
           if (top.name == "option") popTop()
@@ -804,11 +808,23 @@ object HtmlParser {
         }
       }
       closeImplied(name)
-      if (name == "a" && afe.exists(e => e != null && e.name == "a")) {
-        // spec: a nested <a> runs the adoption agency for the open one
+      // spec: a nested <a> runs the adoption agency for the open one — but
+      // only if an <a> entry exists BETWEEN the end of the AFE list and the
+      // last marker (an <a> inside a table cell does not see one outside it)
+      def lastAAfterMarker: Int = {
+        var i = afe.length - 1
+        while (i >= 0) {
+          val e = afe(i)
+          if (e == null) return -1
+          if (e.name == "a") return i
+          i -= 1
+        }
+        -1
+      }
+      if (name == "a" && lastAAfterMarker != -1) {
         error("nested <a>")
         adoptionAgency("a")
-        val ai = afe.indexWhere(e => e != null && e.name == "a")
+        val ai = lastAAfterMarker
         if (ai != -1) {
           val stale = afe(ai)
           afe.remove(ai)
@@ -828,7 +844,10 @@ object HtmlParser {
       if (fosterNow) error(s"fostered <$name> out of table")
       val id = arena.createElement(name, attrs)
       insertNode(id, fosterNow)
-      val inForeign = stack.exists(e => e.name == "svg" || e.name == "math")
+      // the element itself counts: a self-closing <svg/>/<math/> pops
+      // immediately per the in-body foreign-element rules
+      val inForeign = name == "svg" || name == "math" ||
+        stack.exists(e => e.name == "svg" || e.name == "math")
       if (name == "template") {
         val frag = arena.create(new MutNode(NodeKind.Fragment))
         arena(id).templateContents = frag
@@ -911,24 +930,32 @@ object HtmlParser {
               if (!h.attrs.contains(k)) h.attrs(k) = v
             }
           case "head" if !fragment =>
-            ensureHtml()
+            // a stray <head> after the head exists is a parse error, ignored
+            // (it must NOT re-route body content into the emitted head)
             if (headId == -1) {
+              ensureHtml()
               headId = arena.createElement("head", attrs)
               appendChild(htmlId, headId)
-            }
-            stack += Open(headId, "head")
+              stack += Open(headId, "head")
+            } else error("stray <head>")
           case "body" if !fragment =>
-            ensureHtml(); ensureHead(); headClosed = true
-            while (top.name != "html" && top.name != "#root") popTop()
             if (bodyId == -1) {
+              ensureHtml(); ensureHead(); headClosed = true
+              while (top.name != "html" && top.name != "#root") popTop()
               bodyId = arena.createElement("body", attrs)
               appendChild(htmlId, bodyId)
-            } else attrs.foreach { case (k, v) =>
-              val b = arena(bodyId)
-              if (!b.attrs.contains(k)) b.attrs(k) = v
+              stack += Open(bodyId, "body")
+              bodyStarted = true
+            } else {
+              // duplicate <body>: parse error; merge attributes, leave the
+              // open-element stack untouched (html5ever)
+              error("duplicate <body>")
+              attrs.foreach { case (k, v) =>
+                val b = arena(bodyId)
+                if (!b.attrs.contains(k)) b.attrs(k) = v
+              }
+              bodyStarted = true
             }
-            stack += Open(bodyId, "body")
-            bodyStarted = true
           case _ =>
             if (!fragment && !bodyStarted && HeadContent(name)) {
               ensureHead()

@@ -490,6 +490,45 @@ class EngineSpec extends AnyFunSuite {
     assert(d.validate.isEmpty)
   }
 
+  test("nested <a> scan stops at AFE markers: link inside a cell keeps the outer link") {
+    val d = Doc.parse(
+      """<a href="1">x<table><tr><td><a href="2">y</a></td></tr></table>z</a>""")
+    assert(d.select("a[href='1']").length >= 1)
+    assert(d.select("td a[href='2']").length == 1)
+    // content after the table stays inside the outer link
+    assert(d.select("a[href='1']").text.contains("z"))
+  }
+
+  test("duplicate <body> merges attributes without closing open elements") {
+    val d = Doc.parse("<body><div>a<body class=x>b")
+    assert(d.select("div").text == "ab")
+    assert(d.body.attr("class").contains("x"))
+  }
+
+  test("stray <head> after body content is ignored") {
+    val d = Doc.parse("<body><p>x</p><head><div>y")
+    assert(d.select("head div").length == 0)
+    assert(d.select("body div").length == 1)
+    assert(d.body.text == "xy")
+  }
+
+  test("self-closing <svg/> at HTML level pops immediately") {
+    val d = Doc.parse("<svg/><p>hi</p>")
+    assert(d.select("svg").length == 1)
+    assert(d.select("svg p").length == 0)
+    assert(d.select("body > p").text == "hi")
+  }
+
+  test("li/dd/dt start tags close an open <p> in button scope") {
+    val d = Doc.parse("<ul><p>a<li>b</li></ul>")
+    assert(d.select("ul > li").length == 1)
+    assert(d.select("li").text == "b")
+    assert(d.select("p").text == "a")
+    val d2 = Doc.parse("<dl><p>a<dd>b</dd></dl>")
+    assert(d2.select("dl > dd").length == 1)
+    assert(d2.select("p").text == "a")
+  }
+
   test("foster parenting: table-illegal content moves before the table") {
     val d = Doc.parse("<table>foo<tr><td>bar</td></tr></table>")
     // "foo" is fostered out; the table keeps only its legal structure
