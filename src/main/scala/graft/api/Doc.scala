@@ -83,15 +83,17 @@ final class Sel(val doc: Doc, val ids: Seq[Int]) {
 
   // --- Q3-Q11: selection-level query ops ------------------------------------
 
-  /** Sub-select under each selected node; roots never match themselves
-    * (`selection.rs:567-641`; `tests/selection-traversal.rs:26-30`). */
+  /** Sub-select under each selected node; roots never match themselves, and
+    * the selector's ancestor compounds may be satisfied ABOVE the roots
+    * (`selection.rs:567-641`; `tests/selection-traversal.rs:26-30`;
+    * `examples/descendant_elements.rs`). */
   def select(css: String): Sel =
-    new Sel(doc, Engine.select(acc, ids, SelectorAst.parseCached(css)).toSeq)
+    new Sel(doc, Engine.selectChained(acc, ids, SelectorAst.parseCached(css)).toSeq)
 
   /** First sub-select match only (`selection.rs` select_single,
     * `tests/selection-traversal.rs:167-175`). */
   def selectSingle(css: String): Sel = {
-    val f = Engine.selectFirst(acc, ids, SelectorAst.parseCached(css))
+    val f = Engine.selectChainedFirst(acc, ids, SelectorAst.parseCached(css))
     new Sel(doc, if (f == -1) Nil else Seq(f))
   }
 

@@ -141,6 +141,58 @@ object Engine {
   def selectDoc(acc: NodeAccess, css: String): Array[Int] =
     select(acc, Seq(0), SelectorAst.parseCached(css))
 
+  /** Chained sub-select (Q3): strict descendants of the roots matched with
+    * the reference's ASCENDING semantics — the selector's ancestor compounds
+    * may be satisfied ABOVE the sub-root (`examples/descendant_elements.rs`:
+    * `uls.select("body ul.list-b li")` finds the li even though `body` sits
+    * above the ul roots; the selectors-crate Matches iterator walks the full
+    * ancestor chain). Roots themselves never match. From the document root
+    * this coincides with the descending evaluation (nothing exists above
+    * the root), so `select` keeps the faster set-at-a-time path there and
+    * for :has anchoring. */
+  def selectChained(acc: NodeAccess, roots: Seq[Int], list: List[Complex]): Array[Int] = {
+    if (roots == Seq(0)) return select(acc, roots, list)
+    val matched = new java.util.BitSet(acc.size)
+    val seen = new java.util.BitSet(acc.size)
+    val walk = new IntStack()
+    roots.foreach { r =>
+      walk.clear()
+      pushChildrenReversed(acc, r, walk)
+      while (walk.nonEmpty) {
+        val cur = walk.pop()
+        if (!seen.get(cur)) {
+          seen.set(cur)
+          if (acc.isElement(cur) && matches(acc, cur, list)) matched.set(cur)
+          pushChildrenReversed(acc, cur, walk)
+        }
+      }
+    }
+    orderByDocument(acc, roots, matched)
+  }
+
+  /** First chained match in document order (early exit). */
+  def selectChainedFirst(acc: NodeAccess, roots: Seq[Int], list: List[Complex]): Int = {
+    if (roots == Seq(0)) return selectFirst(acc, roots, list)
+    val seen = new java.util.BitSet(acc.size)
+    val walk = new IntStack()
+    var res = -1
+    roots.foreach { r =>
+      if (res == -1) {
+        walk.clear()
+        pushChildrenReversed(acc, r, walk)
+        while (res == -1 && walk.nonEmpty) {
+          val cur = walk.pop()
+          if (!seen.get(cur)) {
+            seen.set(cur)
+            if (acc.isElement(cur) && matches(acc, cur, list)) res = cur
+            else pushChildrenReversed(acc, cur, walk)
+          }
+        }
+      }
+    }
+    res
+  }
+
   /** Name-path `find` with descent pruning (F1): at every non-final path
     * step the walk does NOT descend into a matched node; at the final step
     * it does (reference `dom_tree/traversal.rs:90-138`). This differs from

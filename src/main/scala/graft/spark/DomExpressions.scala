@@ -89,7 +89,7 @@ case class CssSelectUnder(first: Expression, second: Expression, third: Expressi
   override def nullSafeEval(nodes: Any, ids: Any, css: Any): Any = {
     val acc = new ArrayDataAccess(nodes.asInstanceOf[ArrayData])
     val roots = DomExprUtil.idsFrom(ids.asInstanceOf[ArrayData])
-    DomExprUtil.intsToArray(Engine.select(acc, roots, plan))
+    DomExprUtil.intsToArray(Engine.selectChained(acc, roots, plan))
   }
   override def prettyName: String = "css_select_under"
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =

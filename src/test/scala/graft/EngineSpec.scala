@@ -468,6 +468,29 @@ class EngineSpec extends AnyFunSuite {
     assert(d2.text == "123")
   }
 
+  test("chained select ancestry above the roots (examples/descendant_elements.rs)") {
+    val d = Doc.parse("""<!DOCTYPE html>
+      <html><head><title>Test</title></head><body>
+        <h1>Test Page</h1>
+        <ul class="list-a">
+          <li>One</li>
+          <li><a href="/2">Two</a></li>
+          <li><a href="/3">Three</a></li>
+        </ul>
+        <ul class="list-b">
+          <li><a href="/4">Four</a></li>
+        </ul>
+      </body></html>""")
+    val uls = d.select("ul")
+    // `body` and `ul.list-b` are satisfied at/above the ul roots — the
+    // selectors-crate Matches iterator still finds the li
+    val li = uls.select("body ul.list-b li")
+    assert(li.length == 1)
+    assert(li.text == "Four")
+    // still strict-descendant: roots never match themselves
+    assert(uls.select("ul").length == 0)
+  }
+
   test("chained select_single (tests/selection-traversal.rs:167-175)") {
     val d = Doc.parse(Fixtures.LIST)
     assert(d.select("div").selectSingle(".list").length == 1)

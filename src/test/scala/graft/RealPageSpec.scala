@@ -98,6 +98,12 @@ class RealPageSpec extends AnyFunSuite {
       """p:contains("Rust has a foreign function interface") a[href^="/"]""")
     assert(ffi.length > 0)
     assert(ffi.ids.forall(i => Option(d.acc.attr(i, "href")).exists(_.startsWith("/"))))
+    // examples/pseudo_classes.rs:46-49 — :only-text + :only-child combo
+    val onlyText = d.select("a div:only-text:only-child")
+    onlyText.ids.foreach { i =>
+      val fc = d.acc.firstChild(i)
+      assert(fc != -1 && d.acc.isText(fc) && d.acc.nextSibling(fc) == -1)
+    }
   }
 
   // descending set-at-a-time evaluation vs the independent ascending
