@@ -797,8 +797,36 @@ object HtmlParser {
     private val TableStructure = Set(
       "caption", "col", "colgroup", "tbody", "td", "tfoot", "th", "thead", "tr")
 
+    /** "select scope": only option/optgroup sit between here and the select. */
+    private def inSelect: Boolean = {
+      var i = stack.length - 1
+      while (i >= 0) {
+        val nm = stack(i).name
+        if (nm == "select") return true
+        if (nm != "option" && nm != "optgroup") return false
+        i -= 1
+      }
+      false
+    }
+
     private def startTagInBody(name: String, attrs: List[(String, String)],
         selfClosing: Boolean): Unit = {
+      // HTML5 "in select": only option/optgroup/hr/script/template content is
+      // legal; a nested <select> acts as </select>; input/keygen/textarea
+      // close the select and reprocess; anything else is ignored
+      if (inSelect) name match {
+        case "option" | "optgroup" | "hr" | "script" | "template" => ()
+        case "select" =>
+          error("nested <select>")
+          popThrough("select")
+          return
+        case "input" | "keygen" | "textarea" =>
+          error(s"<$name> closes open <select>")
+          popThrough("select")
+        case _ =>
+          error(s"ignored <$name> in select")
+          return
+      }
       // table-structure tags outside any table/template are IGNORED per the
       // HTML5 "in body" rules (html5ever drops a bare <tr> in a div)
       if (TableStructure(name)) {
@@ -837,8 +865,9 @@ object HtmlParser {
       val hiddenInput = name == "input" &&
         attrs.exists { case (k, v) => k == "type" && v.equalsIgnoreCase("hidden") }
       // table-structure tokens never reconstruct formatting (the in-table/
-      // in-row/in-cell modes insert structure directly)
-      if (!TableStructure(name) &&
+      // in-row/in-cell modes insert structure directly); neither does
+      // anything inside a select (in-select mode has no reconstruction)
+      if (!TableStructure(name) && !inSelect &&
           (!inTableCtx || (!TableLegal(name) && !hiddenInput))) reconstructAfe()
       val fosterNow = TableContext(top.name) && !TableLegal(name) && !hiddenInput
       if (fosterNow) error(s"fostered <$name> out of table")
@@ -895,7 +924,7 @@ object HtmlParser {
         if (fragment || bodyStarted) {
           if (!allWs) {
             if (TableContext(top.name)) error("fostered text out of table")
-            reconstructAfe()
+            if (!inSelect) reconstructAfe() // in-select: chars insert plainly
             insertText(s, foster = true)
           } else insertText(s, foster = false)
         } else if (underHead) insertText(s, foster = false)
@@ -976,7 +1005,12 @@ object HtmlParser {
         }
 
       case TEnd(name) =>
-        name match {
+        // in-select: only option/optgroup/select/template end tags apply;
+        // everything else (stray </i>, </li>, …) is ignored
+        if (inSelect && name != "option" && name != "optgroup" &&
+            name != "select" && name != "template") {
+          error(s"ignored </$name> in select")
+        } else name match {
           case "html" => () // after-html: ignore (doc); fragment scaffold never pops
           case "body" =>
             if (!fragment && bodyId != -1) {

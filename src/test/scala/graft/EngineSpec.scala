@@ -552,6 +552,26 @@ class EngineSpec extends AnyFunSuite {
     assert(d2.select("p").text == "a")
   }
 
+  test("in-select mode: illegal content ignored, nested select closes") {
+    val d = Doc.parse("<select><option>a</option><div>x</div><option>b</option></select>")
+    assert(d.select("select div").length == 0)
+    assert(d.select("select option").length == 2)
+    // the <div> tags are dropped but its character tokens stay (in-select
+    // inserts characters; only the element is ignored)
+    assert(d.select("select").text == "axb")
+    // nested <select> acts as </select> (the token itself is discarded);
+    // the following option lands outside the select
+    val d2 = Doc.parse("<select><option>a<select><option>b</select>")
+    assert(d2.select("select").length == 1)
+    assert(d2.selectSingle("select").text == "a")
+    assert(d2.select("body > option").text == "b")
+    // <input> closes the select and continues in body
+    val d3 = Doc.parse("<select><option>a<input name=q><p>after")
+    assert(d3.select("select input").length == 0)
+    assert(d3.select("body > input").length == 1)
+    assert(d3.select("p").text == "after")
+  }
+
   test("foster parenting: table-illegal content moves before the table") {
     val d = Doc.parse("<table>foo<tr><td>bar</td></tr></table>")
     // "foo" is fostered out; the table keeps only its legal structure
