@@ -328,6 +328,41 @@ class MutationSpec extends AnyFunSuite {
     ok(doc2)
   }
 
+  test("replace-with-reparent composition (node-manipulation.rs:246-269)") {
+    val doc = Doc.parse("""<!DOCTYPE html>
+      <html lang="en"><head></head><body>
+        <div id="main">
+          <p id="before-origin"></p>
+          <p id="origin"><span id="inline">Something</span></p>
+          <p id="after-origin"><span>About</span><span>Me</span></p>
+        </div>
+      </body></html>""")
+    val a = doc.arena
+    val origin = doc.selectSingle("#origin").ids.head
+    val p = a.createElement("p", Seq("id" -> "outline"))
+    graft.ops.TreeOps.insertBefore(a, origin, p)
+    graft.ops.TreeOps.removeFromParent(a, origin)
+    graft.ops.TreeOps.reparentChildren(a, origin, p)
+    assert(!doc.select("#origin").exists)
+    assert(doc.select("#outline > #inline").exists)
+    assert(doc.validate.isEmpty)
+  }
+
+  test("replace element with its own text node (node-manipulation.rs:271-295)") {
+    val doc = Doc.parse("""<!DOCTYPE html>
+      <html lang="en"><head></head><body>
+        <div id="main"><p><a href="javascript:void(0)">Some text</a></p></div>
+      </body></html>""")
+    val aSel = doc.selectSingle("""a[href^="javascript:"]:only-text""")
+    assert(aSel.exists)
+    val aNode = aSel.ids.head
+    val textNode = doc.arena(aNode).firstChild
+    assert(doc.arena(textNode).isText)
+    graft.ops.TreeOps.replaceWith(doc.arena, aNode, textNode)
+    assert(doc.select("#main > p").innerHtml.contains("Some text"))
+    assert(doc.validate.isEmpty)
+  }
+
   test("id stability: removal never reclaims slots (ops.rs:350-383)") {
     val doc = Doc.parse(REPLACEMENT)
     val before = doc.arena.size
