@@ -338,7 +338,7 @@ object Engine {
 
   def matchesComplex(acc: NodeAccess, i: Int, cx: Complex): Boolean = {
     // match rightmost compound on i, then walk left
-    val steps = cx.steps.reverse
+    val steps = cx.stepsReversed
     if (!acc.isElement(i) || !matchCompound(acc, i, steps.head._2)) return false
     matchesLeft(acc, i, steps.head._1, steps.tail)
   }

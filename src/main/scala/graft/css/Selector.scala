@@ -61,7 +61,11 @@ object SelectorAst {
   /** A complex selector: sequence of (combinator, compound); the first
     * combinator describes the relation to the *scope* (Descendant for
     * plain selectors; Child/Adjacent/Sibling for relative `:has(> a)`). */
-  case class Complex(steps: List[(Combinator, Compound)])
+  case class Complex(steps: List[(Combinator, Compound)]) {
+    /** Right-to-left step order for ascending matching — cached so the
+      * per-candidate matcher doesn't allocate a reversed list per node. */
+    @transient lazy val stepsReversed: List[(Combinator, Compound)] = steps.reverse
+  }
 
   /** Parse a selector list. Throws IllegalArgumentException on syntax error
     * (reference `select` panics on invalid selector, `document.rs:201-204`;
