@@ -269,6 +269,85 @@ object SparkEntry {
             "[\\n ]+$", "").as("ftext"))
         .orderBy("doc_id")),
 
+    // M13 wrap_html + unwrap: wrap the link, then splice the list's children up
+    "q_dom_wrap" -> ((s, dir) =>
+      parts(s, dir)
+        .withColumn("nodes2", F.dom_mutate_ops(col("nodes"), Seq(
+          ("a.plink", "wrap_html", lit("<span class=\"wrap\"></span>"), lit(null)),
+          ("ul.words", "unwrap", lit(null), lit(null)))))
+        .select(col("doc_id"),
+          size(F.css_select(col("nodes2"), "span.wrap > a.plink")).cast("long").as("n_wrapped"),
+          size(F.css_select(col("nodes2"), "#main > li")).cast("long").as("n_top_li"),
+          F.dom_validate(col("nodes2")).isNull.as("is_valid"))
+        .orderBy("doc_id")),
+
+    // M16 rename + M17 strip_elements: subtree text survives both rewrites
+    "q_dom_rename_strip" -> ((s, dir) =>
+      parts(s, dir)
+        .withColumn("nodes2", F.dom_mutate_ops(col("nodes"), Seq(
+          ("p.sz", "rename", lit("h2"), lit(null)),
+          ("#main", "strip_elements", lit("ul"), lit(null)))))
+        .select(col("doc_id"),
+          size(F.css_select(col("nodes2"), "h2.sz")).cast("long").as("n_h2"),
+          size(F.css_select(col("nodes2"), "#main > li")).cast("long").as("n_top_li"),
+          F.dom_text(col("nodes2"), F.css_select(col("nodes2"), "#main")).as("main_text"))
+        .orderBy("doc_id")),
+
+    // M9 set_text + M18 normalize: two appended text runs merge into one node
+    "q_dom_set_text_normalize" -> ((s, dir) =>
+      parts(s, dir)
+        .withColumn("nodes2", F.dom_mutate_ops(col("nodes"), Seq(
+          ("a.plink", "set_text", concat(lit("X-"), col("doc_id")), lit(null)),
+          ("p.sz", "append_html", lit(" a"), lit(null)),
+          ("p.sz", "append_html", lit(" b"), lit(null)),
+          ("p.sz", "normalize", lit(null), lit(null)))))
+        .withColumn("p_idx", expr("element_at(css_select(nodes2, 'p.sz'), 1)"))
+        .select(col("doc_id"),
+          F.dom_text(col("nodes2"), F.css_select(col("nodes2"), "a.plink")).as("a_text"),
+          expr("size(filter(nodes2, n -> n.parent = p_idx AND n.kind = 'text'))")
+            .cast("long").as("n_text_children"),
+          F.dom_text(col("nodes2"), F.css_select(col("nodes2"), "p.sz")).as("p_text"))
+        .orderBy("doc_id")),
+
+    // S3: <template> contents live in a detached fragment — selection and
+    // subtree text never see them, only the template element itself
+    "q_dom_template" -> ((s, dir) =>
+      parts(s, dir)
+        .withColumn("nodes2", F.parse_html(regexp_replace(col("html"),
+          "<p class=", "<template><li>hidden</li></template><p class=")))
+        .select(col("doc_id"),
+          size(F.css_select(col("nodes2"), "li")).cast("long").as("n_li"),
+          size(F.css_select(col("nodes2"), "template")).cast("long").as("n_tpl"),
+          F.dom_text(col("nodes2"), F.css_select(col("nodes2"), "#main")).as("main_text"))
+        .orderBy("doc_id")),
+
+    // Q5 filter_selection (array_intersect) + Q9 is_selection (arrays_overlap)
+    "q_dom_intersect" -> ((s, dir) =>
+      parts(s, dir)
+        .withColumn("sel_li", F.css_select(col("nodes"), "ul.words li"))
+        .select(col("doc_id"),
+          size(array_intersect(col("sel_li"),
+            F.css_select(col("nodes"), "ul.words li:nth-child(-n+3)")))
+            .cast("long").as("n_common"),
+          arrays_overlap(col("sel_li"),
+            F.css_select(col("nodes"), "li:first-child")).as("overlap_li"),
+          arrays_overlap(col("sel_li"),
+            F.css_select(col("nodes"), "p.sz")).as("overlap_p"))
+        .orderBy("doc_id")),
+
+    // T3/T5/T6: the stored pointer/depth columns are the traversal surface —
+    // read them straight off the nodes structs (no selector round trips)
+    "q_dom_pointer_fields" -> ((s, dir) =>
+      parts(s, dir)
+        .withColumn("ul", expr("element_at(nodes, element_at(css_select(nodes, 'ul.words'), 1) + 1)"))
+        .select(col("doc_id"),
+          expr("element_at(nodes, ul.prev_elem_sib + 1).name").as("prev_name"),
+          expr("element_at(nodes, ul.next_elem_sib + 1).name").as("next_name"),
+          expr("element_at(nodes, ul.first_child + 1).depth").cast("long").as("li_depth"),
+          expr("element_at(nodes, element_at(nodes, ul.last_child + 1).first_child + 1).text")
+            .as("last_word"))
+        .orderBy("doc_id")),
+
     // flagship link extraction (P10 :has + Q3 chains + X1/X6)
     "q_links" -> ((s, dir) => qLinks(s, dir)),
 
@@ -609,6 +688,43 @@ object SparkEntry {
            array_to_string(string_split(p_name, ' '), chr(10)) ||
            chr(10) || chr(10) || chr(10) || 'size ' || p_size AS ftext
            FROM part ORDER BY doc_id""",
+      "q_dom_wrap" ->
+        s"""SELECT cast(p_partkey as varchar) AS doc_id,
+            cast(1 as bigint) AS n_wrapped,
+            cast($W as bigint) AS n_top_li,
+            true AS is_valid
+            FROM part ORDER BY doc_id""",
+      "q_dom_rename_strip" ->
+        """SELECT cast(p_partkey as varchar) AS doc_id,
+           cast(1 as bigint) AS n_h2,
+           cast(len(string_split(p_name, ' ')) as bigint) AS n_top_li,
+           p_type || replace(p_name, ' ', '') || 'size ' || p_size AS main_text
+           FROM part ORDER BY doc_id""",
+      "q_dom_set_text_normalize" ->
+        """SELECT cast(p_partkey as varchar) AS doc_id,
+           'X-' || p_partkey AS a_text,
+           cast(1 as bigint) AS n_text_children,
+           'size ' || p_size || ' a b' AS p_text
+           FROM part ORDER BY doc_id""",
+      "q_dom_template" ->
+        s"""SELECT cast(p_partkey as varchar) AS doc_id,
+            cast($W as bigint) AS n_li,
+            cast(1 as bigint) AS n_tpl,
+            p_type || replace(p_name, ' ', '') || 'size ' || p_size AS main_text
+            FROM part ORDER BY doc_id""",
+      "q_dom_intersect" ->
+        s"""SELECT cast(p_partkey as varchar) AS doc_id,
+            cast(least($W, 3) as bigint) AS n_common,
+            true AS overlap_li,
+            false AS overlap_p
+            FROM part ORDER BY doc_id""",
+      "q_dom_pointer_fields" ->
+        s"""SELECT cast(p_partkey as varchar) AS doc_id,
+            'a' AS prev_name,
+            'p' AS next_name,
+            cast(5 as bigint) AS li_depth,
+            string_split(p_name, ' ')[$W] AS last_word
+            FROM part ORDER BY doc_id""",
       "q_events_windowed" ->
         """SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d') AS day,
            event_type, cast(count(*) as bigint) AS n,
