@@ -836,9 +836,7 @@ object SparkEntry {
   private val P = TextPipeline.P
   private def dTokens(t: String) = s"string_split_regex(trim(lower($t)), '\\s+')"
   private def dWordHash(w: String) =
-    s"""list_reduce(list_prepend(0::BIGINT,
-          list_transform(string_split($w, ''), c -> ascii(c)::BIGINT)),
-        (a, c) -> (a * 31 + c) % $P)"""
+    s"CAST(concat('0x', substring(md5($w), 1, 15)) AS BIGINT) % $P"
   private def dTokenHashes(t: String) =
     s"list_transform(${dTokens(t)}, w -> ${dWordHash("w")})"
   private val dShingles =

@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
  *
  * Everything here is Spark SQL built-ins / higher-order functions — fully
  * codegen-eligible, no UDFs, no custom expressions — and every hash is
- * modular arithmetic (P = 1e9+7) so the DuckDB oracle can reproduce results
- * bit-for-bit (xxhash64 would be Spark-only). At 100 TB these run as one
+ * md5-derived or modular arithmetic (P = 1e9+7) so the DuckDB oracle can
+ * reproduce results bit-for-bit (xxhash64 would be Spark-only). At 100 TB
+ * these run as one
  * narrow projection stage per doc + one shuffle per groupBy/join, with LSH
  * banding keeping the join fan-out bounded.
  */
@@ -24,9 +25,12 @@ object TextPipeline {
   /** normalized whitespace-split tokens of lowercased text */
   def tokensSql(text: String) = s"split(trim(lower($text)), '\\\\s+')"
 
-  /** polynomial word hash: fold chars as (acc*31 + ascii(c)) % P */
+  /** word hash: top 60 bits of md5, mod P. md5 is a single codegen'd call
+    * per word (DuckDB-reproducible via hex cast) — the earlier per-char
+    * polynomial fold allocated a one-char UTF8String per character and ran
+    * an interpreted lambda per char, dominating map-side CPU at scale. */
   def wordHashSql(w: String) =
-    s"aggregate(split($w, ''), 0L, (a, c) -> (a * 31 + ascii(c)) % ${P}L)"
+    s"cast(conv(substr(md5($w), 1, 15), 16, 10) as bigint) % ${P}L"
 
   /** per-token hash array */
   def tokenHashesSql(text: String) =
