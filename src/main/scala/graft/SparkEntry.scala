@@ -516,6 +516,10 @@ object SparkEntry {
       Similarity.lshTopK(Similarity.embeddings(s, dir), nQueries = 20, k = 5)
         .orderBy("query_id", "rank")),
 
+    "q_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(Similarity.embeddings(s, dir), nQueries = 20, k = 5)
+        .orderBy("query_id", "rank")),
+
     "q_multimodal_decode" -> ((s, dir) =>
       graft.pipeline.Multimodal.withDecoded(
         graft.pipeline.Multimodal.mediaTable(s, dir))
@@ -1028,6 +1032,35 @@ object SparkEntry {
             SELECT query_id, neighbor_id, cast(rank as bigint) AS rank
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
       },
+      "q_ann_ivf" ->
+        // exact mirror of Similarity.ivfTopK: seed centroids (vec_id < 16),
+        // argmax-cosine assignment (cos DESC, cell ASC tie-break), nProbe=4
+        // probed cells per query, exact cosine re-rank — deterministic
+        s"""WITH cent AS (SELECT vec_id AS cell, embedding AS centroid
+                          FROM embeddings WHERE vec_id < 16),
+            sc AS (SELECT e.vec_id, c.cell,
+                          ${dCosine("e.embedding", "c.centroid")} AS ccos
+                   FROM embeddings e CROSS JOIN cent c),
+            rk AS (SELECT vec_id, cell,
+                          row_number() OVER (PARTITION BY vec_id
+                            ORDER BY ccos DESC, cell ASC) AS r
+                   FROM sc),
+            assigned AS (SELECT vec_id, cell FROM rk WHERE r = 1),
+            probes AS (SELECT vec_id AS query_id, cell FROM rk
+                       WHERE vec_id < 20 AND r <= 4),
+            cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+                     FROM probes p JOIN assigned a USING (cell)
+                     WHERE p.query_id <> a.vec_id),
+            scored AS (SELECT query_id, neighbor_id,
+                              ${dCosine("qe.embedding", "ce.embedding")} AS cos
+                       FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+                                 JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
+            ranked AS (SELECT query_id, neighbor_id,
+                              row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rank
+                       FROM scored)
+            SELECT query_id, neighbor_id, cast(rank as bigint) AS rank
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
       "q_multimodal_decode" ->
         s"""SELECT doc_id,
              CASE doc_id % 3 WHEN 0 THEN concat('img-', doc_id)

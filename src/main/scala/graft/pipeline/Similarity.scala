@@ -99,6 +99,13 @@ object Similarity {
       .select(col("query_id"), explode(col("ids")).as("neighbor_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .distinct()
+    rerank(candIds, emb, k)
+  }
+
+  /** Shared re-rank tail: id-pair candidates → narrow payload rejoin →
+    * exact cosine → top-k per query (the shuffle up to here carried id pairs
+    * only, never two embeddings per candidate row). */
+  private def rerank(candIds: DataFrame, emb: DataFrame, k: Int): DataFrame = {
     val payload = emb.select(col("vec_id"), col("embedding"))
     val cand = candIds
       .join(payload.select(col("vec_id").as("query_id"), col("embedding").as("qv")), Seq("query_id"))
@@ -108,6 +115,40 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
+  /**
+   * ANN via IVF-flat: a coarse quantizer of `nCells` centroids partitions the
+   * corpus into inverted lists; a query scans only its `nProbe` nearest
+   * cells. Centroids here are the first `nCells` corpus vectors (a
+   * deterministic seeding both engines reproduce bit-for-bit — production
+   * swaps in offline-trained k-means centroids; float mean refinement is
+   * order-dependent, so a trained quantizer arrives as DATA, not as an
+   * in-query aggregation). The 100 TB shape: assignment is one broadcast
+   * join against nCells rows + per-vector argmax; the search join carries
+   * (cell, id) rows only, candidates bounded by the probed lists — never
+   * all-pairs, and the inverted lists co-partition on cell.
+   */
+  def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cent = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    // one broadcast cross join scores every vector against all centroids;
+    // window argmax (cos DESC, cell ASC tie-break) gives the assignment
+    val scoredCells = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", expr(cosineSql("embedding", "centroid")))
+      .select("vec_id", "cell", "ccos")
+    val wCell = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell").asc)
+    val ranked = scoredCells.withColumn("r", row_number().over(wCell))
+    val assigned = ranked.filter(col("r") === 1).select("vec_id", "cell")
+    val probes = ranked.filter(col("vec_id") < nQueries && col("r") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val candIds = probes.join(assigned, Seq("cell"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .distinct()
+    rerank(candIds, emb, k)
   }
 
   /** Embedding near-dup pairs: constructed perturbed copies (id+1000000,

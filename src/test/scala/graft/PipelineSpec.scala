@@ -28,6 +28,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"LSH recall@5 too low: $recall")
   }
 
+  test("IVF ANN recall@5 vs brute force is usable (approximate by design)") {
+    val emb = Similarity.embeddings(spark, sf)
+    val exact = Similarity.bruteForceTopK(emb, nQueries = 20, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(emb, nQueries = 20, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF recall@5 too low: $recall")
+  }
+
   test("embedding near-dup: every constructed dup pairs with its source") {
     val pairs = Similarity.embeddingNearDupPairs(Similarity.embeddings(spark, sf), 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
