@@ -920,6 +920,8 @@ object SparkEntry {
              cast(CASE WHEN len(${dTokens("text")}) = 0 THEN 0
                   ELSE (len(list_filter(${dTokens("text")}, w -> length(w) >= 4)) * 100)
                        // len(${dTokens("text")}) END as bigint) AS long_word_pct,
+             cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
+                  as bigint) AS n_bpe_tokens,
              ${dFingerprint("text")} AS fingerprint
            FROM documents ORDER BY doc_id""",
       "q_quality_filter" ->

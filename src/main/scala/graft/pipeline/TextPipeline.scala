@@ -248,6 +248,11 @@ object TextPipeline {
         expr("""CASE WHEN size(toks) = 0 THEN 0
                 ELSE (size(filter(toks, w -> length(w) >= 4)) * 100) div size(toks) END""")
           .cast("long").as("long_word_pct"),
+        // BPE-ish subword count: letter runs + single digits + punctuation,
+        // the GPT-2-pretokenizer shape (a real BPE merges from data; the
+        // regex pass is the deterministic, engine-portable stand-in)
+        expr("""size(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]', 0))""")
+          .cast("long").as("n_bpe_tokens"),
         expr(fingerprintSql("text")).as("fingerprint"))
   }
 }
