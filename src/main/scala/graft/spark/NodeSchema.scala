@@ -57,6 +57,34 @@ object NodeSchema {
   final val SUBTREE_END = 13
   final val N_FIELDS = 20
 
+  /** Bounded UTF8String intern table for the closed-ish vocabularies of the
+    * node relation — kinds (7 values), tag names, attribute keys, class
+    * tokens. `UTF8String.fromString` re-encodes to UTF-8 bytes on every
+    * call; these strings repeat on nearly every node of every document, so
+    * interning removes ~half the ingest encoding work. Capped because tag /
+    * class names are open-world (crawled markup chooses them): past the cap
+    * we fall back to plain encoding rather than growing without bound. */
+  private val utf8Cache = new java.util.concurrent.ConcurrentHashMap[String, UTF8String]()
+  private final val UTF8_CACHE_MAX = 4096
+  private def utf8(s: String): UTF8String = {
+    val hit = utf8Cache.get(s)
+    if (hit != null) hit
+    else {
+      val v = UTF8String.fromString(s)
+      if (utf8Cache.size < UTF8_CACHE_MAX) utf8Cache.putIfAbsent(s, v)
+      v
+    }
+  }
+
+  /** Boxed-int cache for the 14 pointer/position fields per node: JDK's
+    * Integer cache stops at 127, node indices don't — without this every
+    * node row allocates ~14 Integers. Covers [-1, 65535) (id -1 = None);
+    * larger arenas fall back to plain boxing. */
+  private val intBox: Array[java.lang.Integer] =
+    Array.tabulate(65537)(i => java.lang.Integer.valueOf(i - 1))
+  @inline private def box(i: Int): Any =
+    if (i >= -1 && i < 65536) intBox(i + 1) else java.lang.Integer.valueOf(i)
+
   /** Direct Arena → Catalyst conversion (the parse hot path): computes the
     * derived columns and emits InternalRows without materializing NodeRec
     * objects (VectorMaps and Seq wrappers were half the ingest allocation). */
@@ -68,8 +96,8 @@ object NodeSchema {
     while (i < n) {
       val nd = a(i)
       val vals = new Array[Any](N_FIELDS)
-      vals(KIND) = UTF8String.fromString(nd.kind)
-      vals(NAME) = if (nd.name == null) null else UTF8String.fromString(nd.name)
+      vals(KIND) = utf8(nd.kind)
+      vals(NAME) = if (nd.name == null) null else utf8(nd.name)
       vals(ATTRS) =
         if (nd.attrs == null) null
         else {
@@ -78,29 +106,29 @@ object NodeSchema {
           val vs = new Array[Any](sz)
           var j = 0
           nd.attrs.foreach { case (k, v) =>
-            ks(j) = UTF8String.fromString(k); vs(j) = UTF8String.fromString(v); j += 1
+            ks(j) = utf8(k); vs(j) = UTF8String.fromString(v); j += 1
           }
           new ArrayBasedMapData(new GenericArrayData(ks), new GenericArrayData(vs))
         }
       vals(CLASS_LIST) =
         if (!nd.isElement) null
-        else new GenericArrayData(nd.classList.map(c => UTF8String.fromString(c)).toArray[Any])
+        else new GenericArrayData(nd.classList.map(c => utf8(c)).toArray[Any])
       vals(TEXT) = if (nd.text == null) null else UTF8String.fromString(nd.text)
       vals(MEDIA_REF) = if (nd.mediaRef == null) null else UTF8String.fromString(nd.mediaRef)
-      vals(PARENT) = nd.parent
-      vals(PREV_SIBLING) = nd.prev
-      vals(NEXT_SIBLING) = nd.next
-      vals(FIRST_CHILD) = nd.firstChild
-      vals(LAST_CHILD) = nd.lastChild
-      vals(TEMPLATE_CONTENTS) = nd.templateContents
-      vals(DEPTH) = d.depth(i)
-      vals(SUBTREE_END) = d.subtreeEnd(i)
-      vals(14) = d.elemPos(i)
-      vals(15) = d.elemPosEnd(i)
-      vals(16) = d.typePos(i)
-      vals(17) = d.nElemChildren(i)
-      vals(18) = d.prevElem(i)
-      vals(19) = d.nextElem(i)
+      vals(PARENT) = box(nd.parent)
+      vals(PREV_SIBLING) = box(nd.prev)
+      vals(NEXT_SIBLING) = box(nd.next)
+      vals(FIRST_CHILD) = box(nd.firstChild)
+      vals(LAST_CHILD) = box(nd.lastChild)
+      vals(TEMPLATE_CONTENTS) = box(nd.templateContents)
+      vals(DEPTH) = box(d.depth(i))
+      vals(SUBTREE_END) = box(d.subtreeEnd(i))
+      vals(14) = box(d.elemPos(i))
+      vals(15) = box(d.elemPosEnd(i))
+      vals(16) = box(d.typePos(i))
+      vals(17) = box(d.nElemChildren(i))
+      vals(18) = box(d.prevElem(i))
+      vals(19) = box(d.nextElem(i))
       // GenericInternalRow wraps the array without copying (fromSeq copies)
       rows(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
       i += 1
@@ -115,8 +143,8 @@ object NodeSchema {
     while (i < recs.length) {
       val r = recs(i)
       val vals = new Array[Any](N_FIELDS)
-      vals(KIND) = UTF8String.fromString(r.kind)
-      vals(NAME) = if (r.name == null) null else UTF8String.fromString(r.name)
+      vals(KIND) = utf8(r.kind)
+      vals(NAME) = if (r.name == null) null else utf8(r.name)
       vals(ATTRS) =
         if (r.attrs == null) null
         else {
@@ -124,29 +152,29 @@ object NodeSchema {
           val vs = new Array[Any](r.attrs.size)
           var j = 0
           r.attrs.foreach { case (k, v) =>
-            ks(j) = UTF8String.fromString(k); vs(j) = UTF8String.fromString(v); j += 1
+            ks(j) = utf8(k); vs(j) = UTF8String.fromString(v); j += 1
           }
           new ArrayBasedMapData(new GenericArrayData(ks), new GenericArrayData(vs))
         }
       vals(CLASS_LIST) =
         if (r.class_list == null) null
-        else new GenericArrayData(r.class_list.map(c => UTF8String.fromString(c)).toArray[Any])
+        else new GenericArrayData(r.class_list.map(c => utf8(c)).toArray[Any])
       vals(TEXT) = if (r.text == null) null else UTF8String.fromString(r.text)
       vals(MEDIA_REF) = if (r.media_ref == null) null else UTF8String.fromString(r.media_ref)
-      vals(PARENT) = r.parent
-      vals(PREV_SIBLING) = r.prev_sibling
-      vals(NEXT_SIBLING) = r.next_sibling
-      vals(FIRST_CHILD) = r.first_child
-      vals(LAST_CHILD) = r.last_child
-      vals(TEMPLATE_CONTENTS) = r.template_contents
-      vals(DEPTH) = r.depth
-      vals(SUBTREE_END) = r.subtree_end
-      vals(14) = r.elem_pos_in_parent
-      vals(15) = r.elem_pos_from_end
-      vals(16) = r.type_pos_in_parent
-      vals(17) = r.n_elem_children
-      vals(18) = r.prev_elem_sib
-      vals(19) = r.next_elem_sib
+      vals(PARENT) = box(r.parent)
+      vals(PREV_SIBLING) = box(r.prev_sibling)
+      vals(NEXT_SIBLING) = box(r.next_sibling)
+      vals(FIRST_CHILD) = box(r.first_child)
+      vals(LAST_CHILD) = box(r.last_child)
+      vals(TEMPLATE_CONTENTS) = box(r.template_contents)
+      vals(DEPTH) = box(r.depth)
+      vals(SUBTREE_END) = box(r.subtree_end)
+      vals(14) = box(r.elem_pos_in_parent)
+      vals(15) = box(r.elem_pos_from_end)
+      vals(16) = box(r.type_pos_in_parent)
+      vals(17) = box(r.n_elem_children)
+      vals(18) = box(r.prev_elem_sib)
+      vals(19) = box(r.next_elem_sib)
       rows(i) = InternalRow.fromSeq(vals.toSeq)
       i += 1
     }
