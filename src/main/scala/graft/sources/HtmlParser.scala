@@ -866,8 +866,14 @@ object HtmlParser {
         attrs.exists { case (k, v) => k == "type" && v.equalsIgnoreCase("hidden") }
       // table-structure tokens never reconstruct formatting (the in-table/
       // in-row/in-cell modes insert structure directly); neither does
-      // anything inside a select (in-select mode has no reconstruction)
-      if (!TableStructure(name) && !inSelect &&
+      // anything inside a select (in-select mode has no reconstruction).
+      // The in-body block family (the p-closing tags plus li/dd/dt) also
+      // inserts WITHOUT reconstructing — the spec reconstructs at the first
+      // phrasing content inside the block instead, which is what nests the
+      // formatting clone inside the block (html5ever yields div > a for
+      // <a><div>text, not a > div)
+      if (!TableStructure(name) && !inSelect && !ClosesP(name) &&
+          name != "li" && name != "dd" && name != "dt" &&
           (!inTableCtx || (!TableLegal(name) && !hiddenInput))) reconstructAfe()
       val fosterNow = TableContext(top.name) && !TableLegal(name) && !hiddenInput
       if (fosterNow) error(s"fostered <$name> out of table")

@@ -172,235 +172,387 @@ object Serializer {
   }
 
   /**
-   * Markdown serialization (S5) — conventions matched to the reference's own
-   * goldens (`src/serializing/md.rs` tests): markdown specials escaped in
-   * prose, *italic* / **bold** / ***bold-italic***, inline `code` vs fenced
-   * blocks (fenced when the raw code text is multi-line), "- " unordered and
-   * "1. " ordered items (all ordered items use 1.), "---" rules,
-   * empty-header pipe tables, block separation by exactly one blank line,
-   * and includeRoot=true keeping leading/trailing whitespace. Default skip
-   * list matches `md/constants.rs:5`: script, style, meta, head.
+   * Markdown serialization (S5) — a behavioral re-expression of the
+   * reference's stack-driven writer (`src/serializing/md/serializer.rs:95-168`
+   * `write`, `:190-214` element dispatch, text normalization
+   * `md/text_utils.rs:6-47`, constants `md/constants.rs:1-7`):
+   * normalized+escaped prose (escape set ``` ` * _ { } [ ] < > ( ) # + . ! | " ```),
+   * *italic* / **bold** prefixes-suffixes, `[label](href "title")` links
+   * (label is text-only; no-href links degrade to content,
+   * `serializer.rs:311-337`), `![alt](src "title")` images, fenced ``` pre
+   * blocks with data-lang / data-language / `language-*`-class detection
+   * (`serializer.rs:340-379`), inline vs multiline `code`
+   * (`serializer.rs:383-403`), `> `-prefixed blockquotes built from a
+   * recursive sub-render (`serializer.rs:405-425`), "- "/"1. " lists with
+   * 4-space nesting, paragraph continuation inside items and list-breaking
+   * non-li blocks (`serializer.rs:216-290`), pipe tables with th headers,
+   * nested-table/ragged-row degradation and `<br>`-mode cell rendering
+   * (`serializer.rs:427-483,545-563`), and `  \n` hard breaks for br/li/tr
+   * closes outside their context (`serializer.rs:150-159`). Default skip
+   * list: script, style, meta, head; a skipped tag drops its whole subtree.
+   * includeRoot=true keeps leading/trailing whitespace (`serializer.rs:162-167`).
    */
   def toMd(acc: NodeAccess, root: Int, includeRoot: Boolean,
       skipTags: Seq[String] = Seq("script", "style", "meta", "head")): String = {
     val skip = skipTags.toSet
-    val sb = new java.lang.StringBuilder
+    val EscapeChars: Set[Char] = Set('`', '*', '_', '{', '}', '[', ']', '<',
+      '>', '(', ')', '#', '+', '.', '!', '|', '"')
+    val ListOffsetBase = 4
+    val LangAttrs = Seq("data-lang", "data-language")
+    val mdBlocks = Set("article", "blockquote", "section", "div", "p",
+      "h1", "h2", "h3", "h4", "h5", "h6", "ul", "ol", "dl", "table", "hr")
 
-    val blockTags = Set("h1", "h2", "h3", "h4", "h5", "h6", "p", "div", "ul",
-      "ol", "pre", "table", "hr", "blockquote", "section", "article", "header",
-      "footer", "nav", "aside", "main", "figure", "body", "html")
+    case class Opts(includeNode: Boolean = false, ignoreLinebreak: Boolean = false,
+        skipEscape: Boolean = false, offset: Int = 0, br: Boolean = false)
 
-    def isUws(c: Char) = Character.isWhitespace(c) || Character.isSpaceChar(c)
+    type B = java.lang.StringBuilder
+    def lb(opts: Opts): String = if (opts.br) "<br>" else "\n"
+    def isWs(c: Char) = Character.isWhitespace(c)
 
-    def escapeMd(s: String): String = {
-      val b = new java.lang.StringBuilder(s.length)
-      s.foreach {
-        case c @ ('\\' | '`' | '*' | '_' | '[' | ']' | '(' | ')' | '#' | '.' | '!') =>
-          b.append('\\').append(c)
-        case c => b.append(c)
+    def trimRightSpace(sb: B): Unit =
+      while (sb.length > 0 && sb.charAt(sb.length - 1) == ' ') sb.setLength(sb.length - 1)
+
+    def endsWith(sb: B, s: String): Boolean = {
+      val n = sb.length
+      s.length <= n && sb.subSequence(n - s.length, n).toString == s
+    }
+
+    def addLinebreaks(sb: B, linebreak: String, end: String): Unit = {
+      trimRightSpace(sb)
+      while (!endsWith(sb, end)) sb.append(linebreak)
+    }
+
+    def pushEscapedChunk(sb: B, chunk: String, escapeAll: Boolean): Unit = {
+      var prevEscape = false
+      var i = 0
+      while (i < chunk.length) {
+        val c = chunk.charAt(i)
+        val should = if (escapeAll) EscapeChars(c) else c == '`'
+        if (should && !prevEscape) sb.append('\\')
+        prevEscape = c == '\\'
+        sb.append(c)
+        i += 1
       }
-      b.toString
     }
 
-    def collapseWs(s: String): String = {
-      val b = new java.lang.StringBuilder(s.length)
-      var ws = false
-      s.foreach { c =>
-        if (isUws(c)) ws = true
-        else { if (ws && b.length > 0) b.append(' '); ws = false; b.append(c) }
+    /** `md/text_utils.rs:6-33`: whitespace-normalized, escaped word push with
+      * boundary-space bookkeeping against the buffer tail. */
+    def pushNormalizedText(sb: B, s: String, escapeAll: Boolean): Unit = {
+      val followsNewline = sb.length == 0 || {
+        val c = sb.charAt(sb.length - 1); c == '\n' || c == ' '
       }
-      // keep single boundary spaces for inline joining
-      val lead = if (s.nonEmpty && isUws(s.charAt(0))) " " else ""
-      val trail = if (s.nonEmpty && isUws(s.charAt(s.length - 1)) && b.length > 0) " " else ""
-      lead + b.toString + trail
-    }
-
-    def rawText(id: Int): String = graft.css.Engine.subtreeText(acc, id)
-
-    /** render a node's children as inline markdown */
-    def inline(id: Int): String = {
-      val b = new java.lang.StringBuilder
-      var c = acc.firstChild(id)
-      while (c != -1) { b.append(inlineNode(c)); c = acc.nextSibling(c) }
-      b.toString
-    }
-
-    def inlineNode(i: Int): String = acc.kind(i) match {
-      case "text" =>
-        val t = acc.text(i)
-        if (t == null) "" else escapeMd(collapseWs(t))
-      case "element" =>
-        val nm = acc.name(i)
-        if (skip(nm)) ""
-        else nm match {
-          case "em" | "i" =>
-            val in = inline(i).trim
-            if (in.isEmpty) "" else s"*$in*"
-          case "strong" | "b" =>
-            val in = inline(i).trim
-            if (in.isEmpty) "" else s"**$in**"
-          case "del" | "s" =>
-            val in = inline(i).trim
-            if (in.isEmpty) "" else s"~~$in~~"
-          case "code" =>
-            val in = collapseWs(rawText(i)).trim // no escaping inside code
-            if (in.isEmpty) "" else s"`$in`"
-          case "br" => "\n"
-          case "a" =>
-            val href = Option(acc.attr(i, "href")).getOrElse("")
-            val in = inline(i).trim
-            s"[$in]($href)"
-          case "img" =>
-            val src = Option(acc.attr(i, "src")).getOrElse("")
-            val alt = Option(acc.attr(i, "alt")).getOrElse("")
-            s"![$alt]($src)"
-          case _ => inline(i)
+      val pushStart = !followsNewline && s.nonEmpty && isWs(s.charAt(0))
+      val pushEnd = s.nonEmpty && isWs(s.charAt(s.length - 1))
+      val words = s.split("\\s+").filter(_.nonEmpty)
+      val result = new java.lang.StringBuilder
+      if (words.nonEmpty) {
+        if (pushStart) result.append(' ')
+        pushEscapedChunk(result, words(0), escapeAll)
+        var i = 1
+        while (i < words.length) {
+          result.append(' '); pushEscapedChunk(result, words(i), escapeAll); i += 1
         }
+      }
+      if (result.length == 0 && followsNewline) return
+      sb.append(result)
+      if (pushEnd && (sb.length == 0 || !isWs(sb.charAt(sb.length - 1)))) sb.append(' ')
+    }
+
+    def mdPrefix(nm: String): String = nm match {
+      case "h1" => "# "; case "h2" => "## "; case "h3" => "### "
+      case "h4" => "#### "; case "h5" => "##### "; case "h6" => "###### "
+      case "strong" | "b" => "**"
+      case "em" | "i" => "*"
+      case "hr" => "---"
+      case _ => ""
+    }
+    def mdSuffix(nm: String): String = nm match {
+      case "strong" | "b" => "**"
+      case "em" | "i" => "*"
       case _ => ""
     }
 
-    /** bring the buffer to exactly one blank line of separation */
-    def blockSep(): Unit = {
-      if (sb.length == 0) { sb.append("\n\n"); return }
-      while (sb.length > 0 && sb.charAt(sb.length - 1) == ' ')
-        sb.setLength(sb.length - 1)
-      if (sb.length >= 2 && sb.charAt(sb.length - 1) == '\n' &&
-          sb.charAt(sb.length - 2) == '\n') ()
-      else if (sb.length >= 1 && sb.charAt(sb.length - 1) == '\n') sb.append('\n')
-      else sb.append("\n\n")
-    }
-
-    def emitBlock(content: String): Unit = {
-      if (content.isEmpty) return
-      blockSep()
-      sb.append(content)
-      blockSep()
-    }
-
-    def isBlock(i: Int): Boolean = acc.isElement(i) && blockTags(acc.name(i))
-
-    /** render a container's children: runs of inline nodes become paragraphs,
-      * block elements dispatch */
-    def container(id: Int): Unit = {
-      val para = new java.lang.StringBuilder
-      def flush(): Unit = { emitBlock(para.toString.trim); para.setLength(0) }
+    def childIds(id: Int): List[Int] = {
+      val b = List.newBuilder[Int]
       var c = acc.firstChild(id)
-      while (c != -1) {
-        if (acc.isElement(c) && skip(acc.name(c))) ()
-        else if (isBlock(c)) { flush(); block(c) }
-        else if (acc.isElement(c) && acc.name(c) == "code" &&
-                 rawText(c).trim.contains('\n')) {
-          // multi-line <code> at block position → fenced block, verbatim
-          flush()
-          emitBlock("```\n" + rawText(c).trim + "\n```")
-        } else para.append(inlineNode(c))
-        c = acc.nextSibling(c)
-      }
-      flush()
+      while (c != -1) { b += c; c = acc.nextSibling(c) }
+      b.result()
     }
 
-    def list(id: Int, ordered: Boolean, depth: Int): Unit = {
-      var c = acc.firstChild(id)
-      while (c != -1) {
-        if (acc.isElement(c)) acc.name(c) match {
-          case "li" =>
-            if (sb.length > 0 && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
-            sb.append("  " * depth)
-            sb.append(if (ordered) "1. " else "- ")
-            // item head: inline content excluding nested lists
-            val head = new java.lang.StringBuilder
-            var cc = acc.firstChild(c)
-            while (cc != -1) {
-              if (acc.isElement(cc) && (acc.name(cc) == "ul" || acc.name(cc) == "ol")) ()
-              else if (isBlock(cc)) head.append(inline(cc))
-              else head.append(inlineNode(cc))
-              cc = acc.nextSibling(cc)
-            }
-            sb.append(head.toString.trim).append('\n')
-            // nested lists
-            cc = acc.firstChild(c)
-            while (cc != -1) {
-              if (acc.isElement(cc) && (acc.name(cc) == "ul" || acc.name(cc) == "ol"))
-                list(cc, acc.name(cc) == "ol", depth + 1)
-              cc = acc.nextSibling(cc)
-            }
-          case "ul" | "ol" => list(c, acc.name(c) == "ol", depth + 1)
-          case _ =>
-            // non-li block inside a list breaks the list (md.rs test_bad_ol)
-            emitBlock(inline(c).trim)
-        }
-        c = acc.nextSibling(c)
-      }
-    }
+    def sanitizeAttrValue(raw: String): String =
+      raw.split("\\s+").find(_.nonEmpty).getOrElse("").filter(ch =>
+        (ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z') ||
+        (ch >= '0' && ch <= '9') || ch == '-' || ch == '_' || ch == '+' ||
+        ch == '.' || ch == '#')
 
-    def table(id: Int): Unit = {
-      val rows = scala.collection.mutable.ListBuffer[List[Int]]()
-      def walkRows(i: Int): Unit = {
-        var c = acc.firstChild(i)
-        while (c != -1) {
-          if (acc.isElement(c)) acc.name(c) match {
-            case "tr" =>
-              val cells = scala.collection.mutable.ListBuffer[Int]()
-              var cc = acc.firstChild(c)
-              while (cc != -1) {
-                if (acc.isElement(cc) && (acc.name(cc) == "td" || acc.name(cc) == "th"))
-                  cells += cc
-                cc = acc.nextSibling(cc)
-              }
-              if (cells.nonEmpty) rows += cells.toList
-            case "thead" | "tbody" | "tfoot" => walkRows(c)
-            case _ =>
+    def langAttr(i: Int): Option[String] =
+      LangAttrs.iterator.map(a => acc.attr(i, a)).find(_ != null).map(sanitizeAttrValue)
+
+    /** `serializer.rs:340-365`: data-lang on the node, then up to 3 ancestors,
+      * then a `language-*` class on the first `code` element child. */
+    def findCodeLanguage(id: Int): Option[String] =
+      langAttr(id)
+        .orElse {
+          var p = acc.parent(id); var depth = 0; var found: Option[String] = None
+          while (p != -1 && depth < 3 && found.isEmpty) {
+            found = langAttr(p); p = acc.parent(p); depth += 1
           }
-          c = acc.nextSibling(c)
+          found
+        }
+        .orElse {
+          var c = acc.firstChild(id); var res: Option[String] = None; var done = false
+          while (c != -1 && !done) {
+            if (acc.isElement(c) && acc.name(c) == "code") {
+              done = true
+              val cls = acc.attr(c, "class")
+              if (cls != null)
+                res = cls.split("\\s+").find(_.startsWith("language-"))
+                  .map(s => sanitizeAttrValue(s.substring("language-".length)))
+            } else c = acc.nextSibling(c)
+          }
+          res
+        }
+
+    def anyDescendantTextMultiline(id: Int): Boolean = {
+      var stack = childIds(id)
+      while (stack.nonEmpty) {
+        val i = stack.head; stack = stack.tail
+        if (acc.isText(i)) {
+          val t = acc.text(i)
+          if (t != null && t.trim.contains('\n')) return true
+        } else if (acc.isElement(i)) stack = childIds(i) ::: stack
+      }
+      false
+    }
+
+    def hasDescendantTable(id: Int): Boolean = {
+      var stack = childIds(id)
+      while (stack.nonEmpty) {
+        val i = stack.head; stack = stack.tail
+        if (acc.isElement(i)) {
+          if (acc.name(i) == "table") return true
+          stack = childIds(i) ::: stack
         }
       }
-      walkRows(id)
-      if (rows.isEmpty) return
-      val n = rows.map(_.length).max
-      blockSep()
-      sb.append("|").append("   |" * n).append('\n')
-      sb.append("|").append(" - |" * n).append('\n')
-      rows.foreach { cells =>
-        sb.append("|")
-        cells.foreach(c => sb.append(' ').append(inline(c).trim).append(" |"))
-        (cells.length until n).foreach(_ => sb.append("   |"))
-        sb.append('\n')
+      false
+    }
+
+    sealed trait Op
+    final case class Open(id: Int) extends Op
+    final case class CloseTag(name: String) extends Op
+
+    def write(sb: B, rootId: Int, opts: Opts): Unit = {
+      val linebreak = lb(opts)
+      val dbl = linebreak * 2
+      var ops: List[Op] =
+        if (opts.includeNode) List(Open(rootId))
+        else childIds(rootId).map(Open(_))
+      while (ops.nonEmpty) {
+        val op = ops.head; ops = ops.tail
+        op match {
+          case Open(id) =>
+            if (acc.isText(id)) {
+              val t = acc.text(id)
+              pushNormalizedText(sb, if (t == null) "" else t, !opts.skipEscape)
+            } else if (acc.isElement(id)) {
+              val nm = acc.name(id)
+              if (!skip(nm)) {
+                if (!opts.ignoreLinebreak && mdBlocks(nm)) addLinebreaks(sb, linebreak, dbl)
+                val pre = mdPrefix(nm)
+                if (pre.nonEmpty) sb.append(pre)
+                if (!writeElement(sb, id, nm, opts))
+                  ops = childIds(id).map(Open(_)) ::: (CloseTag(nm) :: ops)
+              }
+            }
+          case CloseTag(nm) =>
+            val suf = mdSuffix(nm)
+            if (suf.nonEmpty) sb.append(suf)
+            if (!endsWith(sb, dbl)) {
+              if (!opts.ignoreLinebreak && mdBlocks(nm)) addLinebreaks(sb, linebreak, dbl)
+              else if (nm == "br" || nm == "li" || nm == "tr") {
+                // <br> as a markdown hard break; li/tr fallback outside context
+                trimRightSpace(sb)
+                sb.append("  ").append(linebreak)
+              }
+            }
+        }
       }
-      blockSep()
-    }
-
-    def block(i: Int): Unit = {
-      val nm = acc.name(i)
-      nm match {
-        case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" =>
-          emitBlock("#" * (nm.charAt(1) - '0') + " " + inline(i).trim)
-        case "hr" => emitBlock("---")
-        case "p" => emitBlock(inline(i).trim)
-        case "ul" | "ol" =>
-          blockSep(); list(i, nm == "ol", 0)
-        case "pre" =>
-          emitBlock("```\n" + rawText(i).trim + "\n```")
-        case "blockquote" =>
-          val in = inline(i).trim
-          if (in.nonEmpty) emitBlock(in.split('\n').map("> " + _).mkString("\n"))
-        case "table" => table(i)
-        case _ => container(i) // generic containers recurse
+      if (!opts.includeNode) {
+        while (sb.length > 0 && isWs(sb.charAt(sb.length - 1))) sb.setLength(sb.length - 1)
+        var lead = 0
+        while (lead < sb.length && isWs(sb.charAt(lead))) lead += 1
+        if (lead > 0) sb.delete(0, lead)
       }
     }
 
-    if (acc.isElement(root) && isBlock(root) && acc.name(root) != "body" &&
-        acc.name(root) != "html") block(root)
-    else container(root)
-
-    var out = sb.toString
-    if (!includeRoot) {
-      var s = 0
-      var e = out.length
-      while (s < e && isUws(out.charAt(s))) s += 1
-      while (e > s && isUws(out.charAt(e - 1))) e -= 1
-      out = out.substring(s, e)
+    /** text-only flattening for link labels (`serializer.rs:170-186`). */
+    def writeTextOnly(sb: B, rootId: Int): Unit = {
+      var stack = List(rootId)
+      while (stack.nonEmpty) {
+        val i = stack.head; stack = stack.tail
+        if (acc.isText(i)) {
+          val t = acc.text(i)
+          pushNormalizedText(sb, if (t == null) "" else t, escapeAll = true)
+        } else if (acc.isElement(i)) stack = childIds(i) ::: stack
+      }
     }
-    out
+
+    def writeElement(sb: B, id: Int, nm: String, opts: Opts): Boolean = nm match {
+      case "ul" => writeList(sb, id, if (opts.br) "+ " else "- ", opts); true
+      case "ol" => writeList(sb, id, "1. ", opts); true
+      case "a" => writeLink(sb, id); true
+      case "img" => writeImg(sb, id); true
+      case "pre" => writePre(sb, id); true
+      case "blockquote" => writeBlockquote(sb, id); true
+      case "table" => writeTable(sb, id); true
+      case "code" => writeCode(sb, id); true
+      case _ => false
+    }
+
+    def writeListItemBlocks(sb: B, li: Int, ctxOpts: Opts, linebreak: String,
+        indent: String, prefix: String): Unit = {
+      val blockIndent = " " * prefix.length
+      trimRightSpace(sb)
+      sb.append(indent).append(prefix)
+      var first = true
+      var c = acc.firstChild(li)
+      while (c != -1) {
+        val isListTag = acc.isElement(c) &&
+          (acc.name(c) == "ul" || acc.name(c) == "ol")
+        val isBlock = acc.isElement(c) && !isListTag && mdBlocks(acc.name(c))
+        if (isBlock) {
+          if (first) first = false else sb.append(blockIndent)
+          write(sb, c, ctxOpts)
+          sb.append(linebreak).append(linebreak)
+        } else write(sb, c, ctxOpts.copy(includeNode = true))
+        c = acc.nextSibling(c)
+      }
+    }
+
+    def writeList(sb: B, listId: Int, prefix: String, opts: Opts): Unit = {
+      val indent = " " * (opts.offset * ListOffsetBase)
+      val ctxOpts = opts.copy(offset = opts.offset + 1)
+      val linebreak = lb(opts)
+      var c = acc.firstChild(listId)
+      while (c != -1) {
+        val isLi = acc.isElement(c) && acc.name(c) == "li"
+        val hasBlocks = childIds(c).exists { k =>
+          acc.isElement(k) && acc.name(k) != "ul" && acc.name(k) != "ol" &&
+          mdBlocks(acc.name(k))
+        }
+        if (isLi && hasBlocks) writeListItemBlocks(sb, c, ctxOpts, linebreak, indent, prefix)
+        else if (isLi) {
+          trimRightSpace(sb)
+          sb.append(indent).append(prefix)
+          write(sb, c, ctxOpts)
+          sb.append(linebreak)
+        } else write(sb, c, Opts(includeNode = true))
+        c = acc.nextSibling(c)
+      }
+    }
+
+    def writeLink(sb: B, id: Int): Unit = {
+      val href = acc.attr(id, "href")
+      if (href != null) {
+        val label = new java.lang.StringBuilder
+        writeTextOnly(label, id)
+        if (label.length > 0) {
+          sb.append('[')
+          pushNormalizedText(sb, label.toString, escapeAll = true)
+          sb.append("](").append(href)
+          val title = acc.attr(id, "title")
+          if (title != null) {
+            sb.append(" \"")
+            pushNormalizedText(sb, title, escapeAll = true)
+            sb.append('"')
+          }
+          sb.append(')')
+        }
+      } else write(sb, id, Opts())
+    }
+
+    def writeImg(sb: B, id: Int): Unit = {
+      val src = acc.attr(id, "src")
+      if (src != null) {
+        sb.append("![")
+        val alt = acc.attr(id, "alt")
+        if (alt != null) sb.append(alt)
+        sb.append("](").append(src)
+        val title = acc.attr(id, "title")
+        if (title != null) sb.append(" \"").append(title).append('"')
+        sb.append(')')
+      }
+    }
+
+    def writePre(sb: B, id: Int): Unit = {
+      sb.append("\n```")
+      findCodeLanguage(id).foreach(sb.append)
+      sb.append('\n')
+      sb.append(graft.css.Engine.subtreeText(acc, id))
+      sb.append("\n```\n")
+    }
+
+    def writeCode(sb: B, id: Int): Unit = {
+      if (anyDescendantTextMultiline(id)) writePre(sb, id)
+      else {
+        sb.append('`')
+        val buf = new java.lang.StringBuilder
+        write(buf, id, Opts(skipEscape = true))
+        sb.append(buf)
+        sb.append('`')
+      }
+    }
+
+    def writeBlockquote(sb: B, id: Int): Unit = {
+      val buf = new java.lang.StringBuilder
+      write(buf, id, Opts())
+      if (buf.length == 0) return
+      while (!endsWith(sb, "\n\n")) sb.append('\n')
+      buf.toString.split("\n", -1).foreach { line =>
+        sb.append("> ").append(line).append('\n')
+      }
+      sb.append('\n')
+    }
+
+    /** `serializer.rs:545-563`: a table renders as a pipe table only if it
+      * has no nested table and every row has the same nonzero td count. */
+    def tableWritable(tableId: Int): Boolean = {
+      if (hasDescendantTable(tableId)) return false
+      var common = 0
+      var ok = true
+      graft.css.Engine.findByNames(acc, Seq(tableId), Seq("tr")).foreach { tr =>
+        val cnt = graft.css.Engine.findByNames(acc, Seq(tr), Seq("td")).length
+        if (common == 0) common = cnt
+        else if (cnt != common) ok = false
+      }
+      ok && common != 0
+    }
+
+    def writeTable(sb: B, tableId: Int): Unit = {
+      if (!tableWritable(tableId)) { write(sb, tableId, Opts()); return }
+      val cellOpts = Opts(ignoreLinebreak = true, br = true)
+      def cell(id: Int): String = {
+        val b = new java.lang.StringBuilder; write(b, id, cellOpts); b.toString
+      }
+      val headings = scala.collection.mutable.ArrayBuffer[String]()
+      graft.css.Engine.findByNames(acc, Seq(tableId), Seq("tr", "th"))
+        .foreach(th => headings += cell(th))
+      val rows = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+      graft.css.Engine.findByNames(acc, Seq(tableId), Seq("tr")).foreach { tr =>
+        val row = graft.css.Engine.findByNames(acc, Seq(tr), Seq("td")).map(cell).toSeq
+        if (row.nonEmpty) rows += row
+      }
+      while (headings.length < rows.head.length) headings += " "
+      sb.append("\n| ").append(headings.mkString(" | ")).append(" |\n")
+      sb.append("| ").append(headings.map(h => "-" * h.length).mkString(" | "))
+        .append(" |\n")
+      rows.foreach(r => sb.append("| ").append(r.mkString(" | ")).append(" |\n"))
+      sb.append('\n')
+    }
+
+    val sb = new java.lang.StringBuilder
+    write(sb, root, Opts(includeNode = includeRoot))
+    sb.toString
   }
 }
 

@@ -338,7 +338,9 @@ case class DomMd(left: Expression, right: Expression)
     val acc = new ArrayDataAccess(nodes.asInstanceOf[ArrayData])
     val idArr = ids.asInstanceOf[ArrayData]
     if (idArr.numElements() == 0) return null
-    UTF8String.fromString(Serializer.toMd(acc, idArr.getInt(0), includeRoot = true))
+    // include_node=false: the reference's public md() serializes the node's
+    // CHILDREN and trims (`serializing/md/ext.rs:12-14`)
+    UTF8String.fromString(Serializer.toMd(acc, idArr.getInt(0), includeRoot = false))
   }
   override def prettyName: String = "dom_md"
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =

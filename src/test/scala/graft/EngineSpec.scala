@@ -503,13 +503,15 @@ class EngineSpec extends AnyFunSuite {
   test("Noah's ark: at most 3 identical formatting entries reconstruct") {
     // 7 unclosed identical <b> inside the first paragraph; closing the p pops
     // them off the stack but they stay in the active formatting list, where
-    // the Noah's ark clause caps identical (name, attrs) entries at 3 — so
-    // the next paragraph reconstructs exactly 3 nested b's, not 7
+    // the Noah's ark clause caps identical (name, attrs) entries at 3. The
+    // second <p> inserts WITHOUT reconstructing (block start tags don't);
+    // its text does the reconstruction — so exactly 3 nested b's appear
+    // INSIDE the new paragraph (p > b b b > "y", html5ever's tree)
     val d = Doc.parse("<p><b><b><b><b><b><b><b>x</p><p>y</p>")
     val y = d.select("p:last-child")
     assert(y.text == "y")
-    assert(d.select("b b b p:last-child").length == 1)
-    assert(d.select("b b b b p:last-child").length == 0)
+    assert(d.select("p:last-child b b b").length == 1)
+    assert(d.select("p:last-child b b b b").length == 0)
     assert(d.validate.isEmpty)
   }
 
