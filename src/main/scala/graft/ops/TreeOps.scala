@@ -243,6 +243,9 @@ object TreeOps {
   /** Remove target, promoting its children into its place (M13 unwrap,
     * `node_ref.rs:379-393`). */
   def unwrapNode(a: Arena, target: Int): Unit = {
+    // a parentless node (the root) cannot be unwrapped — reference no-op
+    // (`node_ref.rs:379-393` splices into the parent, which must exist)
+    if (a(target).parent == -1) return
     val kids = a.childIds(target)
     kids.foreach(k => insertBefore(a, target, k))
     removeFromParent(a, target)
