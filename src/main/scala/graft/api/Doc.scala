@@ -209,7 +209,20 @@ final class Sel(val doc: Doc, val ids: Seq[Int]) {
       }
     }
 
+  def prependSelection(other: Sel): Unit =
+    ids.foreach { t =>
+      // prepend the copies in reverse so the source's document order is kept
+      other.ids.reverse.foreach { s =>
+        val c = TreeOps.copyNode(a, other.doc.arena, s)
+        TreeOps.prependChild(a, t, c)
+      }
+    }
+
   def replaceWithSelection(other: Sel): Unit = {
+    // empty source: full no-op — the targets are NOT removed
+    // (`selection.rs:445-455` merges nothing and never detaches,
+    // `tests/selection-manipulation.rs:279-299`)
+    if (other.ids.isEmpty) return
     ids.foreach { t =>
       other.ids.foreach { s =>
         val c = TreeOps.copyNode(a, other.doc.arena, s)
