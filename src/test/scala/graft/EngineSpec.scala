@@ -585,4 +585,43 @@ class EngineSpec extends AnyFunSuite {
     assert(d2.select("div > div#f").length == 1)
     assert(d2.select("table div").length == 0)
   }
+
+  // selection-query.rs:90-116 test_filter_selection_other
+  test("filter_selection intersects with an unrelated selection") {
+    val d = Doc.parse(
+      """<!DOCTYPE html><html lang="en"><head><title>Test</title></head><body>
+         <div class="content"><p>Content text has a <a href="/0">link</a></p></div>
+         <footer><a href="/1">Footer Link</a></footer>
+         </body></html>""")
+    val links = d.select("a[href]")
+    assert(links.length == 2)
+    val content = d.select("div.content *")
+    assert(links.filterSelection(content).length == 1)
+  }
+
+  // selection-query.rs:121-141 test_is_empty / test_is_empty_selection
+  test("is/is_selection against empty selections") {
+    val d = Doc.parse(
+      """<!DOCTYPE html><html><head><title>Test</title></head><body>
+         <div id="parent"><div id="first-child" class="child">Child</div>
+         <div id="second-child" class="child">Child</div></div></body></html>""")
+    val first = d.select("#parent > #first-child")
+    assert(!first.isEmpty)
+    assert(!first.is("#third-child"))
+    val third = d.select("#parent > #third-child")
+    assert(third.isEmpty)
+    assert(!first.isSelection(third))
+  }
+
+  // selection-query.rs:143-161 test_is_has (prev element sibling + relative :has)
+  test("is with :has(> img:only-child) on the previous element sibling") {
+    val d = Doc.parse(
+      """<!DOCTYPE html><html><body>
+         <div><img src="image.png"></div>
+         <div id="anchor"></div>
+         </body></html>""")
+    val prev = d.select("#anchor").prevSibling
+    assert(prev.length == 1)
+    assert(prev.is("*:has( > img:only-child)"))
+  }
 }
