@@ -21,8 +21,12 @@ final class Doc(val arena: Arena) {
   def select(css: String): Sel =
     new Sel(this, Engine.select(acc, Seq(0), SelectorAst.parseCached(css)).toSeq)
 
+  /** None when the selector is invalid OR when nothing matches
+    * (`document.rs:218-227` filters empty selections to None). */
   def trySelect(css: String): Option[Sel] =
-    SelectorAst.tryParse(css).map(l => new Sel(this, Engine.select(acc, Seq(0), l).toSeq))
+    SelectorAst.tryParse(css)
+      .map(l => new Sel(this, Engine.select(acc, Seq(0), l).toSeq))
+      .filter(_.exists)
 
   def selectSingle(css: String): Sel = {
     val f = Engine.selectFirst(acc, Seq(0), SelectorAst.parseCached(css))

@@ -154,7 +154,9 @@ class EngineSpec extends AnyFunSuite {
     val doc = Doc.parse(LIST)
     intercept[IllegalArgumentException](doc.select(":+ ^"))
     assert(doc.trySelect(":+ ^").isEmpty)
-    assert(doc.trySelect("p").isDefined) // exists but empty selection is Some
+    // a valid selector with NO matches is also None (document.rs:220-225)
+    assert(doc.trySelect("p").isEmpty)
+    assert(doc.trySelect("li").isDefined)
   }
 
   test("nth-child text (README.md:112-117)") {
