@@ -10,8 +10,8 @@ object PlanDump {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.001"
-    val names = Seq("q_links", "q_dedup_minhash", "q_ann_lsh", "q_crawl_schedule",
-      "q_text_analysis", "q_dom_mutate_validate")
+    val names = Seq("q_links", "q_dedup_minhash", "q_ann_lsh", "q_ann_ivf",
+      "q_crawl_schedule", "q_text_analysis", "q_dom_mutate_validate")
     names.foreach { n =>
       println(s"===== $n =====")
       val df = graft.SparkEntry.queries(n)(spark, sf)
