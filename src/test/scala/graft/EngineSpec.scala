@@ -588,6 +588,78 @@ class EngineSpec extends AnyFunSuite {
     assert(d2.select("table div").length == 0)
   }
 
+  // pseudo-classes.rs:286-309 — unsupported pseudo-classes are selector
+  // ERRORS (unlike the inert parse-but-false set)
+  test("unsupported pseudo-classes fail to parse") {
+    val d = Doc.parse("<ul><li>1</li></ul>")
+    intercept[IllegalArgumentException](d.select("*:required"))
+    assert(d.trySelect("*:required").isEmpty)
+    intercept[IllegalArgumentException](d.select(":lang(en-US)"))
+  }
+
+  // selection-traversal.rs:265-281 test_doc_uppercase
+  test("uppercase markup parses to lowercase tag names") {
+    val d = Doc.parse(
+      """<!DOCTYPE html><html lang="en"><head></head><body><div>
+         <ul class="list"><li>1</li><li>2</li><li>3</li></ul>
+         <ul class="list"><li>4</li><li>5</li><li>6</li></ul>
+         </div></body></html>""".toUpperCase)
+    val all = d.select("ul").ids.map(i =>
+      graft.sources.Serializer.toHtml(d.acc, i, includeRoot = false,
+        id => d.arena(id).templateContents).trim).mkString
+    assert(all == "<li>1</li><li>2</li><li>3</li><li>4</li><li>5</li><li>6</li>")
+  }
+
+  // selection-traversal.rs:284-302 test_select_empty
+  test(":empty selection can be removed") {
+    val d = Doc.parse(
+      """<!DOCTYPE html><html><head><title>Test</title></head><body>
+         <div></div>
+         <div>Some text</div>
+         </body></html>""")
+    val empty = d.select("div:empty")
+    assert(empty.exists)
+    empty.remove()
+    assert(d.select("""div:has-text("Some text")""").exists)
+    assert(!d.select("div:empty").exists)
+  }
+
+  // selection-traversal.rs:464-480 test_select_inside_noscript (scripting
+  // disabled: noscript content is real markup)
+  test("select inside noscript") {
+    val d = Doc.parse(
+      """<!DOCTYPE html><html><head><title>Test</title></head><body>
+         <noscript><div>Please enable javascript to run this site</div></noscript>
+         </body></html>""")
+    assert(d.select("noscript div").text == "Please enable javascript to run this site")
+  }
+
+  // selection-traversal.rs:571-588 test_selection_is_sorted
+  test("chained selections come back in document order") {
+    def sorted(xs: Seq[Int]) = xs.sliding(2).forall(w => w.length < 2 || w(0) <= w(1))
+    val d = Doc.parse(
+      """<!DOCTYPE html><html><head><title>Test</title></head><body>
+         <div id="great-ancestor"><div id="grand-parent"><div id="parent">
+         <div id="first-child" class="child">Child</div>
+         <div id="second-child" class="child">Child</div></div></div>
+         <div id="grand-parent-sibling"></div></div></body></html>""")
+    assert(sorted(d.select("div").ids))
+    assert(sorted(d.select("#great-ancestor > div").select("div > div").ids))
+    assert(sorted(d.select("#great-ancestor div").select("div > div").ids))
+  }
+
+  // selection-traversal.rs:590-606 test_select_single_ancestors
+  test("chained select_single through empty and matching selections") {
+    val d = Doc.parse(
+      """<!DOCTYPE html><html><head><title>Test</title></head><body>
+         <div id="great-ancestor"><div id="grand-parent"><div id="parent">
+         <div id="first-child" class="child">Child</div></div></div></div>
+         </body></html>""")
+    assert(!d.select("#ancestor").select("#parent").selectSingle("div").exists)
+    assert(d.selectSingle("#great-ancestor").selectSingle("div").exists)
+    assert(!d.selectSingle("#great-ancestor").selectSingle("p").exists)
+  }
+
   // selection-query.rs:90-116 test_filter_selection_other
   test("filter_selection intersects with an unrelated selection") {
     val d = Doc.parse(
