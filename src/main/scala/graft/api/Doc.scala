@@ -113,7 +113,17 @@ final class Sel(val doc: Doc, val ids: Seq[Int]) {
 
   def add(css: String): Sel = union(doc.select(css))
 
-  def addSelection(other: Sel): Sel = union(other)
+  /** None on an invalid selector (`selection.rs:367-387` try_add). */
+  def tryAdd(css: String): Option[Sel] =
+    graft.css.SelectorAst.tryParse(css)
+      .map(l => union(new Sel(doc, graft.css.Engine.select(acc, Seq(0), l).toSeq)))
+
+  /** Both selections must belong to one tree (`selection.rs:791-798`
+    * asserts; `tests/selection-traversal.rs:418-429` expects a panic). */
+  def addSelection(other: Sel): Sel = {
+    require(other.doc eq doc, "selections belong to different trees")
+    union(other)
+  }
 
   private def union(other: Sel): Sel = {
     val seen = scala.collection.mutable.LinkedHashSet[Int]()

@@ -660,6 +660,53 @@ class EngineSpec extends AnyFunSuite {
     assert(!d.selectSingle("#great-ancestor").selectSingle("p").exists)
   }
 
+  // selection-traversal.rs:319-402 ancestors family
+  test("ancestors: full chain, empty selection, per-node limit with dedup") {
+    val d = Doc.parse(
+      """<!DOCTYPE html><html><head><title>Test</title></head><body>
+         <div id="great-ancestor"><div id="grand-parent"><div id="parent">
+         <div id="first-child" class="child">Child</div>
+         <div id="second-child" class="child">Child</div></div></div>
+         <div id="grand-parent-sibling"></div></div></body></html>""")
+    val anc = d.select("#first-child").ancestors()
+    assert(anc.is("html"))
+    assert(anc.is("#parent"))
+    assert(!anc.is("#first-child"))
+    assert(d.select("#third-child").ancestors().isEmpty)
+
+    val anc2 = d.select("#first-child").ancestors(2)
+    assert(anc2.length == 2)
+    assert(anc2.is("#grand-parent") && anc2.is("#parent"))
+    assert(!anc2.is("#great-ancestor"))
+
+    // two siblings share ancestors; the per-node limit dedups to the same 2
+    val both = d.select("#first-child, #second-child")
+    assert(both.length == 2)
+    val anc3 = both.ancestors(2)
+    assert(anc3.length == 2)
+    assert(anc3.is("#grand-parent") && anc3.is("#parent"))
+    assert(!anc3.is("#great-ancestor"))
+  }
+
+  // selection-traversal.rs:404-462 add family
+  test("add/add_selection/try_add semantics incl. cross-tree panic") {
+    val d = Doc.parse(
+      """<!DOCTYPE html><html><head><title>Test</title></head><body>
+         <div id="parent"><div id="first-child" class="child">Child</div>
+         <div id="second-child" class="child">Child</div></div></body></html>""")
+    val first = d.select("#first-child")
+    val second = d.select("#second-child")
+    assert(first.addSelection(second).length == 2)
+    assert(d.select("#first-child").add("#second-child").length == 2)
+    intercept[IllegalArgumentException](d.select("#first-child").add(":;'"))
+    assert(first.tryAdd(":;'").isEmpty)
+    assert(first.tryAdd("#second-child").map(_.length).contains(2))
+    // selections from different trees never union (selection.rs:791-798)
+    val other = Doc.parse("<div id=\"second-child\"></div>")
+    intercept[IllegalArgumentException](
+      first.addSelection(other.select("#second-child")))
+  }
+
   // selection-query.rs:90-116 test_filter_selection_other
   test("filter_selection intersects with an unrelated selection") {
     val d = Doc.parse(
