@@ -660,6 +660,53 @@ class EngineSpec extends AnyFunSuite {
     assert(!d.selectSingle("#great-ancestor").selectSingle("p").exists)
   }
 
+  // selection-traversal.rs:78-124, 303-315, 483-569 — positional/sibling/
+  // getter batch on page.html + inline fixtures
+  test("children/parent/next on empty and real selections; last/get/prev") {
+    val pg = RealPages.doc("page.html")
+    assert(pg.select(".non-existing").children.length == 0)
+    assert(pg.select(".non-existing").parent.length == 0)
+
+    val d = Doc.parse(
+      """<!DOCTYPE html><html><head><title>Test</title></head><body>
+         <div id="parent"><div id="first-child" class="child">Child</div>
+         <div id="second-child" class="child">Child</div></div></body></html>""")
+    assert(d.select("#parent > div").last.is("#second-child"))
+    assert(d.select("#non-existing > div").last.isEmpty)
+    assert(d.select("#parent > #second-child").prevSibling.is("#first-child"))
+    assert(d.select("#first-child").prevSibling.isEmpty)
+    assert(d.select("#non-existing").prevSibling.isEmpty)
+    val sel = d.select("#parent > div")
+    assert(sel.get(1).isDefined)
+    assert(sel.get(2).isEmpty)
+
+    // class()/id() come from the FIRST node only
+    assert(d.select("#parent > #first-child").className.contains("child"))
+    assert(d.select("#parent").className.isEmpty)
+    assert(d.select("#non-existing").className.isEmpty)
+    assert(d.select("#parent > #first-child").id.contains("first-child"))
+    assert(d.select("body").id.isEmpty)
+
+    // whitespace-only span still counts as a child element (rs:303-315)
+    val d2 = Doc.parse("""<div class="main"><div><span> </span></div></div>""")
+    assert(d2.select("div.main").children.length == 1)
+  }
+
+  // selection-traversal.rs:527-545 selection-level formatted_text keeps the
+  // trailing block break (doc-level golden in TextSpec trims differently)
+  test("selection formatted_text golden") {
+    val doc = Doc.parse((new TextSpec).DMC)
+    val expected = "Listen up y'all, it's time to get down\n" +
+      "'Bout that normalized_char_count in this town\n" +
+      "Traversing nodes with style and grace\n" +
+      "Counting chars at a steady pace\n\n" +
+      "No split whitespace, that's old school\n" +
+      "Direct counting's our golden rule\n" +
+      "Skip them nodes that ain't text or element\n" +
+      "That's how we keep our code development!\n\n"
+    assert(doc.select("p").formattedText == expected)
+  }
+
   // selection-traversal.rs:319-402 ancestors family
   test("ancestors: full chain, empty selection, per-node limit with dedup") {
     val d = Doc.parse(
