@@ -176,8 +176,27 @@ object TreeOps {
     tops
   }
 
-  def parseAndMerge(a: Arena, html: String): List[Int] =
-    mergeFragment(a, HtmlParser.parseFragment(html))
+  /** Parsed-fragment memo: the `*_html` ops typically splice a CONSTANT
+    * fragment into millions of rows (the reference re-parses per target,
+    * `selection.rs:813-818`; we re-parse per ROW without this). The cache
+    * is read-only — [[mergeFragment]] deep-copies nodes (attrs maps cloned)
+    * so merged trees never alias the cached arena. Bounded: dynamic
+    * fragments (per-row HTML) fall through to a plain parse. */
+  private val fragCache = new java.util.concurrent.ConcurrentHashMap[String, Arena]()
+  private final val FragCacheMax = 256
+
+  def parseAndMerge(a: Arena, html: String): List[Int] = {
+    val cached = fragCache.get(html)
+    val frag =
+      if (cached != null) cached
+      else {
+        val f = HtmlParser.parseFragment(html)
+        if (html.length <= 4096 && fragCache.size < FragCacheMax)
+          fragCache.putIfAbsent(html, f)
+        f
+      }
+    mergeFragment(a, frag)
+  }
 
   def appendHtml(a: Arena, target: Int, html: String): Unit =
     parseAndMerge(a, html).foreach(t => appendChild(a, target, t))
