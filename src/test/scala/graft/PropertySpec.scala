@@ -180,6 +180,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("serializers are total over random mutated trees (md/formatted/html)") {
+    forAll(genHtml, Gen.listOfN(8, genOp), n = 40) { (html, ops) =>
+      val doc = Doc.parse(html)
+      ops.foreach(op => applyOp(doc.arena, op))
+      assert(doc.validate.isEmpty)
+      // every serializer must terminate and not throw on any reachable tree
+      val h = doc.html
+      val m = doc.mdText
+      val f = doc.formattedText
+      assert(h != null && m != null && f != null)
+      // reparsing the serialization yields a valid tree whose serializers
+      // are also total (NO fixpoint claim: reparse may legally normalize
+      // mutation-created structures, e.g. foster-parenting table text)
+      val doc2 = Doc.parse(h)
+      assert(doc2.validate.isEmpty)
+      assert(doc2.mdText != null && doc2.formattedText != null)
+    }
+  }
+
   test("serialization round-trip: parse(html(d)) preserves the span sequence") {
     forAll(genHtml, 60) { html =>
       val doc = Doc.parse(html)
