@@ -558,12 +558,16 @@ object SparkEntry {
   }
 
   /** Deterministic robots cache for the 50 synthetic hosts: every 4th host
-    * disallows the `/part/1` path prefix; crawl_delay = host % 5 + 1. */
+    * disallows the `/part/1` and `/part/3` path prefixes, hosts ≡ 2 (mod 4)
+    * disallow `/part/5` (multi-rule robots.txt shape); crawl_delay =
+    * host % 5 + 1. */
   private def synthRobots(s: SparkSession): DataFrame =
     s.range(0, 50).select(
       concat(lit("host-"), col("id"), lit(".example")).as("host"),
-      when(col("id") % 4 === 0, lit("/part/1")).otherwise(lit(null: String))
-        .as("disallow_prefix"),
+      when(col("id") % 4 === 0, array(lit("/part/1"), lit("/part/3")))
+        .when(col("id") % 4 === 2, array(lit("/part/5")))
+        .otherwise(lit(null).cast("array<string>"))
+        .as("disallow_prefixes"),
       (col("id") % 5 + 1).cast("int").as("crawl_delay_s"))
 
   def oracleSql: Map[String, String] = {
@@ -779,17 +783,19 @@ object SparkEntry {
       "q_crawl_robots" ->
         s"""WITH $frontierCte,
             robots AS (SELECT 'host-' || i || '.example' AS host,
-                              CASE WHEN i % 4 = 0 THEN '/part/1' END AS disallow_prefix,
+                              CASE WHEN i % 4 = 0 THEN ['/part/1', '/part/3']
+                                   WHEN i % 4 = 2 THEN ['/part/5'] END AS disallow_prefixes,
                               i % 5 + 1 AS crawl_delay_s
                        FROM range(0, 50) t(i)),
             cand AS (SELECT url, host, max(priority) AS priority, min(seq) AS seq
                      FROM f GROUP BY url, host),
             unseen AS (SELECT * FROM cand WHERE url NOT IN (SELECT url FROM seen)),
             allowed AS (SELECT u.* FROM unseen u LEFT JOIN robots r USING (host)
-                        WHERE r.disallow_prefix IS NULL
-                           OR NOT starts_with(
-                                regexp_replace(u.url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', ''),
-                                r.disallow_prefix)),
+                        WHERE r.disallow_prefixes IS NULL
+                           OR len(list_filter(r.disallow_prefixes, p ->
+                                starts_with(
+                                  regexp_replace(u.url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', ''),
+                                  p))) = 0),
             ranked AS (SELECT *, row_number() OVER
                          (PARTITION BY host ORDER BY priority DESC, seq ASC, url ASC) - 1 AS slot
                        FROM allowed)

@@ -129,16 +129,28 @@ object Frontier {
     unseen.join(scheduled.select("url"), Seq("url"), "left_anti")
 
   /**
-   * robots.txt gate: drop candidates whose URL path starts with the host's
-   * disallow prefix. `robots(host, disallow_prefix, crawl_delay_s)` is the
-   * cache table (one row per host; null prefix = allow all). Broadcast —
-   * the robots cache is host-cardinality, tiny next to the frontier.
+   * robots.txt gate: drop candidates whose URL path starts with ANY of the
+   * host's disallow prefixes. The cache table carries one row per host with
+   * `disallow_prefixes ARRAY<STRING>` (a real robots.txt has many rules);
+   * a legacy single `disallow_prefix STRING` column is accepted and
+   * wrapped. Null/empty = allow all. Broadcast — the robots cache is
+   * host-cardinality, tiny next to the frontier.
    */
-  def applyRobots(candidates: DataFrame, robots: DataFrame): DataFrame =
+  def applyRobots(candidates: DataFrame, robots: DataFrame): DataFrame = {
+    val r =
+      if (robots.columns.contains("disallow_prefixes")) robots
+      else robots
+        .withColumn("disallow_prefixes",
+          when(col("disallow_prefix").isNull, lit(null).cast("array<string>"))
+            .otherwise(array(col("disallow_prefix"))))
+        .drop("disallow_prefix")
     candidates
-      .join(broadcast(robots), Seq("host"), "left")
-      .filter(col("disallow_prefix").isNull ||
-        !urlPath(col("url")).startsWith(col("disallow_prefix")))
+      .join(broadcast(r), Seq("host"), "left")
+      .withColumn("__path", urlPath(col("url")))
+      .filter(col("disallow_prefixes").isNull ||
+        !exists(col("disallow_prefixes"), p => col("__path").startsWith(p)))
+      .drop("__path")
+  }
 
   /** Path(+query) part of a URL: strip `scheme://authority`. Handles http vs
     * https and `:port` authorities (the canonicalizer keeps non-default

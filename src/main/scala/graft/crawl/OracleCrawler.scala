@@ -12,7 +12,7 @@ import scala.collection.mutable
 object OracleCrawler {
 
   case class Url(url: String, host: String, priority: Int, seq: Long)
-  case class Robots(disallowPrefix: Option[String], crawlDelayS: Int)
+  case class Robots(disallowPrefixes: Seq[String], crawlDelayS: Int)
   case class RoundResult(scheduled: Vector[Url], slots: Map[String, Int],
       readyS: Map[String, Long] = Map.empty)
 
@@ -33,11 +33,11 @@ object OracleCrawler {
     val unseen =
       if (robots.isEmpty) unseenAll
       else unseenAll.filter { u =>
-        robots.get(u.host).flatMap(_.disallowPrefix) match {
-          case Some(p) =>
+        robots.get(u.host).map(_.disallowPrefixes).filter(_.nonEmpty) match {
+          case Some(ps) =>
             // path = url minus scheme://authority (authority may carry :port)
             val path = u.url.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
-            val allowed = !path.startsWith(p)
+            val allowed = !ps.exists(path.startsWith)
             if (!allowed) seen += u.url
             allowed
           case None => true

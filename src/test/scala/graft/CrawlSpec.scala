@@ -167,15 +167,16 @@ class CrawlSpec extends AnyFunSuite {
   test("robots gate + token-bucket ready times match oracle") {
     import spark.implicits._
     // disallow on host-0 (https), host-1 (http) and host-2 (https + :8443) —
-    // the path must be derived correctly for every scheme/port shape
+    // the path must be derived correctly for every scheme/port shape;
+    // host-0 carries TWO rules (multi-prefix robots.txt)
     val robotsMap = Map(
-      "host-0.example" -> OracleCrawler.Robots(Some("/p/1"), 1),
-      "host-1.example" -> OracleCrawler.Robots(Some("/p/1"), 2),
-      "host-2.example:8443" -> OracleCrawler.Robots(Some("/p/1"), 3),
-      "host-3.example" -> OracleCrawler.Robots(None, 1))
+      "host-0.example" -> OracleCrawler.Robots(Seq("/p/1", "/p/3"), 1),
+      "host-1.example" -> OracleCrawler.Robots(Seq("/p/1"), 2),
+      "host-2.example:8443" -> OracleCrawler.Robots(Seq("/p/1"), 3),
+      "host-3.example" -> OracleCrawler.Robots(Nil, 1))
     val robotsDf = robotsMap.toSeq.map { case (h, r) =>
-      (h, r.disallowPrefix.orNull, r.crawlDelayS)
-    }.toDF("host", "disallow_prefix", "crawl_delay_s")
+      (h, if (r.disallowPrefixes.isEmpty) null else r.disallowPrefixes, r.crawlDelayS)
+    }.toDF("host", "disallow_prefixes", "crawl_delay_s")
 
     val seen0 = scala.collection.mutable.Set[String]()
     val (oracleRes, _) = OracleCrawler.round(seed, seen0, budgetPerHost = 4, robotsMap)
