@@ -185,7 +185,7 @@ object Frontier {
       case None => filterUnseen(candidates, seen, bloomBits)
     }
     val unseen = robots match {
-      case Some(r) => applyRobots(unseenAll, r).select(unseenAll.columns.map(col): _*)
+      case Some(r) => applyRobots(unseenAll, r).select(unseenAll.columns.toIndexedSeq.map(col): _*)
       case None => unseenAll
     }
     val sched0 = schedule(unseen, budgetPerHost)
