@@ -872,7 +872,10 @@ object HtmlParser {
       // phrasing content inside the block instead, which is what nests the
       // formatting clone inside the block (html5ever yields div > a for
       // <a><div>text, not a > div)
-      if (!TableStructure(name) && !inSelect && !ClosesP(name) &&
+      // exception inside the block family: <xmp> closes the p but DOES
+      // reconstruct before entering raw text (spec in-body xmp steps)
+      if (!TableStructure(name) && !inSelect &&
+          (!ClosesP(name) || name == "xmp") &&
           name != "li" && name != "dd" && name != "dt" &&
           (!inTableCtx || (!TableLegal(name) && !hiddenInput))) reconstructAfe()
       val fosterNow = TableContext(top.name) && !TableLegal(name) && !hiddenInput

@@ -588,6 +588,15 @@ class EngineSpec extends AnyFunSuite {
     assert(d2.select("table div").length == 0)
   }
 
+  // spec in-body <xmp>: closes the p, RECONSTRUCTS active formatting, then
+  // swallows raw text — the xmp lands inside a reconstructed <b> clone
+  test("xmp reconstructs active formatting before raw text") {
+    val d = Doc.parse("<p><b>x</p><xmp>raw</xmp>")
+    assert(d.select("b xmp").length == 1)
+    assert(d.select("xmp").text == "raw")
+    assert(d.validate.isEmpty)
+  }
+
   // pseudo-classes.rs:286-309 — unsupported pseudo-classes are selector
   // ERRORS (unlike the inert parse-but-false set)
   test("unsupported pseudo-classes fail to parse") {
