@@ -95,7 +95,8 @@ object Bench {
     val headline = Seq(
       "q_links", "q_dom_select_tag", "q_dom_text", "q_dom_mutate_class",
       "q_dom_mutate_validate", "q_dom_formatted_text", "q_crawl_schedule",
-      "q_dedup_minhash", "q_text_analysis", "q_ann_topk", "q_ann_lsh")
+      "q_dedup_minhash", "q_text_analysis", "q_ann_topk", "q_ann_lsh",
+      "q_ann_ivf")
 
     // --- scaling evidence: the same stored-input round at N vs 4N threads ---
     // N=2 vs 4N=8 for the efficiency criterion: this VM's host oversubscribes
