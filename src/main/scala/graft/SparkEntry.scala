@@ -558,7 +558,8 @@ object SparkEntry {
   }
 
   /** Deterministic robots cache for the 50 synthetic hosts: every 4th host
-    * disallows the `/part/1` and `/part/3` path prefixes, hosts ≡ 2 (mod 4)
+    * disallows the `/part/1` and `/part/3` path prefixes but re-allows
+    * `/part/13` (Allow-precedence, longest-match), hosts ≡ 2 (mod 4)
     * disallow `/part/5` (multi-rule robots.txt shape); crawl_delay =
     * host % 5 + 1. */
   private def synthRobots(s: SparkSession): DataFrame =
@@ -568,6 +569,9 @@ object SparkEntry {
         .when(col("id") % 4 === 2, array(lit("/part/5")))
         .otherwise(lit(null).cast("array<string>"))
         .as("disallow_prefixes"),
+      when(col("id") % 4 === 0, array(lit("/part/13")))
+        .otherwise(lit(null).cast("array<string>"))
+        .as("allow_prefixes"),
       (col("id") % 5 + 1).cast("int").as("crawl_delay_s"))
 
   def oracleSql: Map[String, String] = {
@@ -785,17 +789,23 @@ object SparkEntry {
             robots AS (SELECT 'host-' || i || '.example' AS host,
                               CASE WHEN i % 4 = 0 THEN ['/part/1', '/part/3']
                                    WHEN i % 4 = 2 THEN ['/part/5'] END AS disallow_prefixes,
+                              CASE WHEN i % 4 = 0 THEN ['/part/13'] END AS allow_prefixes,
                               i % 5 + 1 AS crawl_delay_s
                        FROM range(0, 50) t(i)),
             cand AS (SELECT url, host, max(priority) AS priority, min(seq) AS seq
                      FROM f GROUP BY url, host),
             unseen AS (SELECT * FROM cand WHERE url NOT IN (SELECT url FROM seen)),
-            allowed AS (SELECT u.* FROM unseen u LEFT JOIN robots r USING (host)
-                        WHERE r.disallow_prefixes IS NULL
-                           OR len(list_filter(r.disallow_prefixes, p ->
-                                starts_with(
-                                  regexp_replace(u.url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', ''),
-                                  p))) = 0),
+            scored AS (SELECT u.*,
+                         list_max(list_transform(list_filter(r.disallow_prefixes, p ->
+                           starts_with(regexp_replace(u.url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', ''), p)),
+                           p -> length(p))) AS dis_len,
+                         list_max(list_transform(list_filter(r.allow_prefixes, p ->
+                           starts_with(regexp_replace(u.url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', ''), p)),
+                           p -> length(p))) AS alw_len
+                       FROM unseen u LEFT JOIN robots r USING (host)),
+            allowed AS (SELECT url, host, priority, seq FROM scored
+                        WHERE dis_len IS NULL
+                           OR (alw_len IS NOT NULL AND alw_len >= dis_len)),
             ranked AS (SELECT *, row_number() OVER
                          (PARTITION BY host ORDER BY priority DESC, seq ASC, url ASC) - 1 AS slot
                        FROM allowed)

@@ -129,27 +129,38 @@ object Frontier {
     unseen.join(scheduled.select("url"), Seq("url"), "left_anti")
 
   /**
-   * robots.txt gate: drop candidates whose URL path starts with ANY of the
-   * host's disallow prefixes. The cache table carries one row per host with
-   * `disallow_prefixes ARRAY<STRING>` (a real robots.txt has many rules);
-   * a legacy single `disallow_prefix STRING` column is accepted and
-   * wrapped. Null/empty = allow all. Broadcast — the robots cache is
-   * host-cardinality, tiny next to the frontier.
+   * robots.txt gate with Allow-rule precedence: the cache table carries one
+   * row per host with `disallow_prefixes ARRAY<STRING>` and (optionally)
+   * `allow_prefixes ARRAY<STRING>` — a real robots.txt has many rules of
+   * both kinds. A URL is dropped iff some disallow prefix matches its path
+   * AND no matching allow prefix is at least as long (longest-match wins,
+   * Allow wins ties — the Google robots.txt rule). A legacy single
+   * `disallow_prefix STRING` column is accepted and wrapped. Null/empty =
+   * allow all. Broadcast — the robots cache is host-cardinality, tiny next
+   * to the frontier.
    */
   def applyRobots(candidates: DataFrame, robots: DataFrame): DataFrame = {
-    val r =
+    val r0 =
       if (robots.columns.contains("disallow_prefixes")) robots
       else robots
         .withColumn("disallow_prefixes",
           when(col("disallow_prefix").isNull, lit(null).cast("array<string>"))
             .otherwise(array(col("disallow_prefix"))))
         .drop("disallow_prefix")
+    val r =
+      if (r0.columns.contains("allow_prefixes")) r0
+      else r0.withColumn("allow_prefixes", lit(null).cast("array<string>"))
+    // longest matching prefix per rule list (null when nothing matches —
+    // array_max over an empty/null filter result is null in Spark & DuckDB)
+    def longest(ps: org.apache.spark.sql.Column) =
+      array_max(transform(filter(ps, p => col("__path").startsWith(p)), p => length(p)))
     candidates
       .join(broadcast(r), Seq("host"), "left")
       .withColumn("__path", urlPath(col("url")))
-      .filter(col("disallow_prefixes").isNull ||
-        !exists(col("disallow_prefixes"), p => col("__path").startsWith(p)))
-      .drop("__path")
+      .withColumn("__dis", longest(col("disallow_prefixes")))
+      .withColumn("__alw", longest(col("allow_prefixes")))
+      .filter(col("__dis").isNull || (col("__alw").isNotNull && col("__alw") >= col("__dis")))
+      .drop("__path", "__dis", "__alw")
   }
 
   /** Path(+query) part of a URL: strip `scheme://authority`. Handles http vs

@@ -12,7 +12,8 @@ import scala.collection.mutable
 object OracleCrawler {
 
   case class Url(url: String, host: String, priority: Int, seq: Long)
-  case class Robots(disallowPrefixes: Seq[String], crawlDelayS: Int)
+  case class Robots(disallowPrefixes: Seq[String], crawlDelayS: Int,
+      allowPrefixes: Seq[String] = Nil)
   case class RoundResult(scheduled: Vector[Url], slots: Map[String, Int],
       readyS: Map[String, Long] = Map.empty)
 
@@ -33,14 +34,20 @@ object OracleCrawler {
     val unseen =
       if (robots.isEmpty) unseenAll
       else unseenAll.filter { u =>
-        robots.get(u.host).map(_.disallowPrefixes).filter(_.nonEmpty) match {
-          case Some(ps) =>
+        robots.get(u.host) match {
+          case Some(r) if r.disallowPrefixes.nonEmpty =>
             // path = url minus scheme://authority (authority may carry :port)
             val path = u.url.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
-            val allowed = !ps.exists(path.startsWith)
+            // longest-match with Allow precedence (Allow wins ties)
+            val disLen = r.disallowPrefixes.filter(path.startsWith).map(_.length)
+              .maxOption
+            val alwLen = r.allowPrefixes.filter(path.startsWith).map(_.length)
+              .maxOption
+            val allowed = disLen.isEmpty ||
+              alwLen.exists(_ >= disLen.get)
             if (!allowed) seen += u.url
             allowed
-          case None => true
+          case _ => true
         }
       }
     // 3. politeness: top-B per host by (priority desc, seq, url)

@@ -168,15 +168,17 @@ class CrawlSpec extends AnyFunSuite {
     import spark.implicits._
     // disallow on host-0 (https), host-1 (http) and host-2 (https + :8443) —
     // the path must be derived correctly for every scheme/port shape;
-    // host-0 carries TWO rules (multi-prefix robots.txt)
+    // host-0 carries TWO disallow rules, host-1 an Allow override whose
+    // longer match re-admits /p/1* URLs (Google longest-match precedence)
     val robotsMap = Map(
       "host-0.example" -> OracleCrawler.Robots(Seq("/p/1", "/p/3"), 1),
-      "host-1.example" -> OracleCrawler.Robots(Seq("/p/1"), 2),
+      "host-1.example" -> OracleCrawler.Robots(Seq("/p/"), 2, allowPrefixes = Seq("/p/1")),
       "host-2.example:8443" -> OracleCrawler.Robots(Seq("/p/1"), 3),
       "host-3.example" -> OracleCrawler.Robots(Nil, 1))
     val robotsDf = robotsMap.toSeq.map { case (h, r) =>
-      (h, if (r.disallowPrefixes.isEmpty) null else r.disallowPrefixes, r.crawlDelayS)
-    }.toDF("host", "disallow_prefixes", "crawl_delay_s")
+      (h, if (r.disallowPrefixes.isEmpty) null else r.disallowPrefixes,
+        if (r.allowPrefixes.isEmpty) null else r.allowPrefixes, r.crawlDelayS)
+    }.toDF("host", "disallow_prefixes", "allow_prefixes", "crawl_delay_s")
 
     val seen0 = scala.collection.mutable.Set[String]()
     val (oracleRes, _) = OracleCrawler.round(seed, seen0, budgetPerHost = 4, robotsMap)
