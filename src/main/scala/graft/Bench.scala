@@ -136,6 +136,25 @@ object Bench {
     val eff28 = (thr8 / thr2) / 4.0
     val eff832 = (thr32 / thr8) / 4.0
 
+    // --- multi-round crawl: per-round wall should stay FLAT as seen grows ---
+    // (incremental bloom: per-round cost ∝ round size, not seen size); each
+    // round deduplicates, seen-filters, schedules, discovers one new URL per
+    // scheduled, and commits an atomic snapshot
+    val crawlRoundMs: Seq[Long] = {
+      val sC = session(cpus)
+      try {
+        val crawlRoot = s"$benchDir/crawl-${System.currentTimeMillis}"
+        val seedDf = benchFrontier(sC, sfDir, 2)
+        val disc: DataFrame => Option[DataFrame] = batch =>
+          Some(batch.select(
+            concat(col("url"), lit("x")).as("url"), col("host"),
+            col("priority"), (col("seq") + 1000000000L).as("seq")))
+        val metrics = Frontier.crawl(sC, crawlRoot, seedDf, rounds = 4,
+          budgetPerHost = 2000, bloomBits = 1L << 24, discover = disc)
+        metrics.map(_.getOrElse("wall_ms", -1L))
+      } catch { case _: Throwable => Nil } finally { sC.stop(); System.gc() }
+    }
+
     // --- selection-only throughput on STORED parsed pages -------------------
     // apples-to-apples with the reference's headline bench (36.6 µs/query on
     // a pre-parsed hacker_news page, BASELINE.md): multi-story pages parsed
@@ -201,7 +220,8 @@ object Bench {
     val sh = shuffleMb.map { case (k, v) => "\"" + k + f"\":$v%.1f" }.mkString("{", ",", "}")
     def passArr(n: Int) = passes(n).map(t => f"$t%.2f").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
+    val crawlMs = crawlRoundMs.mkString("[", ",", "]")
     println(
-      f"""{"metric":"frontier throughput (URLs scheduled+deduped/sec)","value":$thr32%.0f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","headline_total_sec":$total%.3f,"shuffle_write_mb":$sh,"frontier_urls":$nUrls,"thr_local2":$thr2%.0f,"thr_local8":$thr8%.0f,"thr_local32":$thr32%.0f,"passes_local2":${passArr(2)},"passes_local8":${passArr(8)},"passes_local32":${passArr(32)},"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"selection_us_per_page":$selUsPerDoc%.1f,"selection_pages":$selDocs,"reference_selection_us":36.6,"scaling_note":"3 interleaved passes per N, per-N min reported with all samples; host vCPU oversubscription caps raw 8-to-32 CPU scaling at ~2.6x, so 2-to-8 is the engine-scaling pair and 8-to-32 carries the congestion caveat"}""")
+      f"""{"metric":"frontier throughput (URLs scheduled+deduped/sec)","value":$thr32%.0f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","headline_total_sec":$total%.3f,"shuffle_write_mb":$sh,"frontier_urls":$nUrls,"thr_local2":$thr2%.0f,"thr_local8":$thr8%.0f,"thr_local32":$thr32%.0f,"passes_local2":${passArr(2)},"passes_local8":${passArr(8)},"passes_local32":${passArr(32)},"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"crawl_round_ms":$crawlMs,"selection_us_per_page":$selUsPerDoc%.1f,"selection_pages":$selDocs,"reference_selection_us":36.6,"scaling_note":"3 interleaved passes per N, per-N min reported with all samples; host vCPU oversubscription caps raw 8-to-32 CPU scaling at ~2.6x, so 2-to-8 is the engine-scaling pair and 8-to-32 carries the congestion caveat; crawl_round_ms = per-round compute wall over 4 discovery rounds (seen grows each round, incremental bloom keeps cost flat)"}""")
   }
 }

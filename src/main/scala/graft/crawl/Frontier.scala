@@ -314,6 +314,7 @@ object Frontier {
     var frontierCount = -1L
     while (r < endRound &&
         (if (frontierCount >= 0) frontierCount > 0 else !frontier.isEmpty)) {
+      val tRound = System.nanoTime()
       val (sched, newSeen, defer) = round(frontier, seen, budgetPerHost,
         seenBloom = bloom)
       val schedCached = sched.cache()
@@ -332,7 +333,10 @@ object Frontier {
       val metrics = Map(
         "scheduled" -> nSched,
         "seen_total" -> newSeenCached.count(),
-        "frontier_next" -> nextFrontierCached.count())
+        "frontier_next" -> nextFrontierCached.count(),
+        // per-round wall (compute, not snapshot IO): the flat-cost evidence
+        // for the incremental bloom — cost ∝ round size, not seen size
+        "wall_ms" -> (System.nanoTime() - tRound) / 1000000L)
       writeSnapshot(spark, root, r, schedCached, newSeenCached, nextFrontierCached,
         metrics, bloomBytes)
       metricsOut += (metrics + ("round" -> r.toLong))
