@@ -387,10 +387,21 @@ object TreeOps {
 
   /** Clone a subtree as a standalone fragment arena (C3, `node_ref.rs:743-767`). */
   def toFragment(src: Arena, srcId: Int): Arena = {
+    // the root or the <html> element clone the WHOLE tree
+    // (`node_ref.rs:744-749` returns `tree.clone()`)
+    if (srcId == 0 || (src(srcId).isElement && src(srcId).name == "html"))
+      return Arena.fromRecs(src.toRecs.toIndexedSeq)
+    // otherwise build the parser's fragment scaffold — root(0), html(1),
+    // detached stray body(2) — and hang the clone under <html>
+    // (`node_ref.rs:751-766`; layout matches parseFragment so merge/select
+    // treat constructed and parsed fragments identically)
     val out = new Arena
     out.create(new MutNode(NodeKind.Fragment))
+    val html = out.createElement("html")
+    appendChild(out, 0, html)
+    out.createElement("body") // stray, stays detached (parser layout parity)
     val newRoot = copyNode(out, src, srcId)
-    appendChild(out, 0, newRoot)
+    appendChild(out, html, newRoot)
     out
   }
 

@@ -113,6 +113,28 @@ class NodeTraversalSpec extends AnyFunSuite {
     assert(d.arena(comment.get).text == "Ancestors")
   }
 
+  // node-traversal.rs:563-589 test_copy_fragment
+  test("to_fragment clones with the html scaffold; root/html clone whole tree") {
+    val srcFrag = Doc.fragment(Ancestors)
+    assert(srcFrag.htmlRoot.exists(i => srcFrag.acc.name(i) == "html"))
+    assert(srcFrag.validate.isEmpty)
+    val srcNode = srcFrag.select("#grand-parent").ids.head
+    val dstFrag = new Doc(TreeOps.toFragment(srcFrag.arena, srcNode))
+    assert(dstFrag.htmlRoot.exists(i => dstFrag.acc.name(i) == "html"))
+    val dstNode = dstFrag.select("#grand-parent").ids.head
+    def htmlOf(d: Doc, i: Int) =
+      graft.sources.Serializer.toHtml(d.acc, i, includeRoot = true,
+        id => d.arena(id).templateContents)
+    assert(htmlOf(srcFrag, srcNode) == htmlOf(dstFrag, dstNode))
+    assert(srcFrag.arena.childIds(srcNode).length ==
+      dstFrag.arena.childIds(dstNode).length)
+    // whole-tree clones for the root and for the html element
+    assert(new Doc(TreeOps.toFragment(srcFrag.arena, 0)).select("html").length == 1)
+    val htmlId = srcFrag.htmlRoot.get
+    assert(new Doc(TreeOps.toFragment(srcFrag.arena, htmlId)).select("html").length == 1)
+    assert(dstFrag.validate.isEmpty)
+  }
+
   // node-traversal.rs:236-258 children vs element_children
   test("children include text nodes, element_children do not") {
     val d = Doc.parse(
