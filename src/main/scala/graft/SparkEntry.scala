@@ -964,9 +964,11 @@ object SparkEntry {
       "q_dedup_ngram_jaccard" ->
         s"""WITH $dCorpus, $dShinglePrep,
             inv AS (SELECT doc_id, shingles, unnest(shingles) AS s FROM sh),
+            rare AS (SELECT s FROM inv GROUP BY s HAVING count(*) <= 1000),
+            invr AS (SELECT inv.* FROM inv JOIN rare USING (s)),
             cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                             a.shingles AS sh_a, b.shingles AS sh_b
-                     FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id)
+                     FROM invr a JOIN invr b ON a.s = b.s AND a.doc_id < b.doc_id)
             ${dJaccardSelect(0.6)}""",
       "q_dedup_minhash" ->
         s"""WITH $dCorpus, $dShinglePrep,

@@ -172,18 +172,30 @@ object TextPipeline {
   }
 
   /** Exact n-gram Jaccard pairs (the dedup correctness oracle path):
-    * inverted index on shingles → pairs sharing ≥1 shingle → exact J ≥ minJ.
-    * Co-partitions on the shingle key; candidate set bounded by shared
-    * shingles, not all pairs. */
-  def ngramJaccardPairs(corpus: DataFrame, minJ: Double): DataFrame = {
+    * inverted index on shingles → pairs sharing ≥1 RARE shingle → exact
+    * J ≥ minJ. Co-partitions on the shingle key; candidate set bounded by
+    * shared shingles, not all pairs. `maxShingleDf` caps the document
+    * frequency of index shingles: stopword-grade shingles (df above the
+    * cap) appear in so many documents that they generate quadratic
+    * candidate noise and hot-key skew in the self-join while carrying no
+    * near-dup signal — a real pair shares rare shingles too. Mirrored in
+    * the DuckDB oracle, so the cap is part of the verified semantics. */
+  def ngramJaccardPairs(corpus: DataFrame, minJ: Double,
+      maxShingleDf: Int = 1000): DataFrame = {
     // see minhashPairs: one persisted shingle table for all three consumers
     val sh = withShingles(corpus).select(col("doc_id"), col("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val payload = sh
     val inv = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    // df per shingle (shingle arrays are distinct per doc, so count = docs);
+    // tiny fixed-width rows, one extra shuffle keyed like the index join
+    val rare = inv.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf)
+      .select("sh")
+    val invRare = inv.join(rare, Seq("sh"))
     // inverted-index join on (doc_id, shingle) rows only; the shingle-array
     // payloads rejoin after the id-pair distinct
-    val candIds = inv.as("a").join(inv.as("b"),
+    val candIds = invRare.as("a").join(invRare.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
