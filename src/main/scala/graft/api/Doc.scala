@@ -21,6 +21,9 @@ final class Doc(val arena: Arena) {
   def select(css: String): Sel =
     new Sel(this, Engine.select(acc, Seq(0), SelectorAst.parseCached(css)).toSeq)
 
+  /** `nip` is the reference's alias for select (`document.rs:206-214`). */
+  def nip(css: String): Sel = select(css)
+
   /** None when the selector is invalid OR when nothing matches
     * (`document.rs:218-227` filters empty selections to None). */
   def trySelect(css: String): Option[Sel] =
@@ -110,6 +113,23 @@ final class Sel(val doc: Doc, val ids: Seq[Int]) {
     val s = other.ids.toSet
     new Sel(doc, ids.filter(s))
   }
+
+  /** `nip` is the reference's alias for select (`selection.rs:599-601`). */
+  def nip(css: String): Sel = select(css)
+
+  /** None on an invalid selector OR an empty sub-select result
+    * (`selection.rs:606-615`). */
+  def trySelect(css: String): Option[Sel] =
+    graft.css.SelectorAst.tryParse(css)
+      .map(l => new Sel(doc, Engine.selectChained(acc, ids, l).toSeq))
+      .filter(_.exists)
+
+  /** Empty selection: Some(this); invalid selector: None; otherwise the
+    * filtered selection, even when empty (`selection.rs:286-291`). */
+  def tryFilter(css: String): Option[Sel] =
+    if (ids.isEmpty) Some(this)
+    else graft.css.SelectorAst.tryParse(css)
+      .map(l => new Sel(doc, ids.filter(i => Engine.matches(acc, i, l))))
 
   def add(css: String): Sel = union(doc.select(css))
 

@@ -716,6 +716,28 @@ class EngineSpec extends AnyFunSuite {
     assert(doc.select("p").formattedText == expected)
   }
 
+  // selection.rs:286-291, 599-615 — Selection-level nip/try_select/try_filter
+  test("selection nip / try_select / try_filter semantics") {
+    val d = Doc.parse(
+      """<!DOCTYPE html><html><head><title>Test</title></head><body>
+         <div id="parent"><div id="first-child" class="child">Child</div>
+         <div id="second-child" class="child">Child</div></div></body></html>""")
+    val parent = d.select("#parent")
+    assert(parent.nip(".child").length == 2)
+    assert(d.nip("#parent").length == 1)
+    // try_select: None on invalid selector AND on empty sub-select
+    assert(parent.trySelect(":+ ^").isEmpty)
+    assert(parent.trySelect("p").isEmpty)
+    assert(parent.trySelect(".child").map(_.length).contains(2))
+    // try_filter: empty selection short-circuits to itself; invalid → None;
+    // valid-but-empty result is Some(empty)
+    val empty = d.select("#nope")
+    assert(empty.tryFilter(":+ ^").exists(_.isEmpty))
+    assert(parent.tryFilter(":+ ^").isEmpty)
+    assert(d.select(".child").tryFilter("#first-child").map(_.length).contains(1))
+    assert(d.select(".child").tryFilter("p").exists(_.isEmpty))
+  }
+
   // selection-traversal.rs:319-402 ancestors family
   test("ancestors: full chain, empty selection, per-node limit with dedup") {
     val d = Doc.parse(
