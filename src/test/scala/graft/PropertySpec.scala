@@ -180,6 +180,23 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("selector parser fuzz: tryParse is total over arbitrary strings") {
+    val soup: Gen[String] = Gen.listOf(Gen.frequency(
+      6 -> Gen.oneOf("div", "p", "a", ".c", "#i", "[k=v]", ":nth-child(2n+1)",
+        ":not(", ":has(", ")", "]", ">", "+", "~", ",", " ", "*", "'", "\"",
+        "\\", ":", "::", "i]", "0", "-n+3"),
+      1 -> Gen.asciiPrintableChar.map(_.toString)
+    )).map(_.mkString)
+    forAll(soup, 400) { css =>
+      // must never throw — Some(plan) or None, and a returned plan must
+      // evaluate without crashing
+      graft.css.SelectorAst.tryParse(css).foreach { plan =>
+        val d = Doc.parse("<div id=i class=c><p>x</p><a k=v>y</a></div>")
+        graft.css.Engine.select(d.acc, Seq(0), plan)
+      }
+    }
+  }
+
   test("serializers are total over random mutated trees (md/formatted/html)") {
     forAll(genHtml, Gen.listOfN(8, genOp), n = 40) { (html, ops) =>
       val doc = Doc.parse(html)
