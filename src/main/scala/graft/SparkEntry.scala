@@ -175,9 +175,9 @@ object SparkEntry {
     "q_dom_contains" -> ((s, dir) =>
       parts(s, dir)
         .select(col("doc_id"),
-          size(F.css_select(col("nodes"), "ul.words li:contains(e)")).cast("long")
+          size(F.css_select(col("nodes"), "ul.words li:contains('e')")).cast("long")
             .as("n_contains"),
-          size(F.css_select(col("nodes"), "ul.words li:has-text(e)")).cast("long")
+          size(F.css_select(col("nodes"), "ul.words li:has-text('e')")).cast("long")
             .as("n_has_text"))
         .orderBy("doc_id")),
 

@@ -359,12 +359,10 @@ private final class SelectorParser(input: String) {
   private def parseStringArg(): String = {
     expect('(')
     skipWs()
-    val v = if (peek == '"' || peek == '\'') quotedOrIdent()
-    else {
-      val start = pos
-      while (pos < n && input.charAt(pos) != ')') pos += 1
-      input.substring(start, pos).trim
-    }
+    // the reference REQUIRES a quoted string here (`matcher.rs:199-205`
+    // expect_string) — :contains(x) unquoted is a selector error
+    if (peek != '"' && peek != '\'') fail("expected quoted string argument")
+    val v = quotedOrIdent()
     skipWs()
     expect(')')
     v

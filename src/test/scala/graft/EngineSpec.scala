@@ -604,6 +604,10 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](d.select("*:required"))
     assert(d.trySelect("*:required").isEmpty)
     intercept[IllegalArgumentException](d.select(":lang(en-US)"))
+    // :has-text/:contains REQUIRE quoted string args (matcher.rs:199-205)
+    intercept[IllegalArgumentException](d.select(":contains(x)"))
+    intercept[IllegalArgumentException](d.select(":has-text(x)"))
+    assert(d.trySelect(""":contains("1")""").isDefined)
   }
 
   // selection-traversal.rs:265-281 test_doc_uppercase
