@@ -229,6 +229,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("selector engine matches brute-force matcher after random mutations") {
+    val sels = Seq("div", "p > span", "li:first-child", "a[k]", ".c",
+      "div b", "p + a", "li:nth-child(2)", "*:empty")
+    forAll(genHtml, Gen.listOfN(10, genOp), n = 40) { (html, ops) =>
+      val doc = Doc.parse(html)
+      ops.foreach(op => applyOp(doc.arena, op))
+      assert(doc.validate.isEmpty)
+      for (css <- sels) {
+        val plan = graft.css.SelectorAst.parseCached(css)
+        val got = graft.css.Engine.select(doc.acc, Seq(0), plan).toSet
+        // brute force over ATTACHED elements only (descending select can
+        // only reach nodes still linked under the root)
+        val attached = doc.arena.preorder(0).toSet
+        val brute = (0 until doc.arena.size)
+          .filter(i => attached(i) && doc.arena(i).isElement &&
+            graft.css.Engine.matches(doc.acc, i, plan)).toSet
+        assert(got == brute, s"'$css' after $ops on $html")
+      }
+    }
+  }
+
   test("selector engine matches brute-force single-node matcher on random docs") {
     val genSel = Gen.oneOf("div", "p", "span", "div p", "p > span", "li + li",
       "div.w", "[id^=n1]", "p:first-child", "span:last-child",

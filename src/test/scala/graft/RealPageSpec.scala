@@ -112,7 +112,11 @@ class RealPageSpec extends AnyFunSuite {
     import graft.css.{Engine, SelectorAst}
     val selectors = Seq("div p", "table td a[href]", "ul > li:nth-child(odd)",
       "span.rank", "a[href^='http']", "tr + tr", "h2 ~ p", "li:first-child",
-      "div:not(.someclass) > a")
+      "div:not(.someclass) > a",
+      "p:nth-of-type(2)", "td:only-child", "div:empty", "a[href$='.html']",
+      "a[href*='wiki']", "[title~='the']", "[lang|='en']", "li:last-child",
+      "tr:nth-last-child(2)", "div:has(> a)", ":is(td, th) a",
+      "p b, p i", "ul li ul li", "table :not(td):not(th)")
     for (page <- Seq("page.html", "rustwiki.html", "rustwiki_2024.html",
         "hacker_news.html", "wisburg.html", "002.html", "mathml.html",
         "tests_with_siblings.html")) {
