@@ -527,6 +527,15 @@ object SparkEntry {
         .withColumn("height", col("height").cast("long"))
         .orderBy("doc_id")),
 
+    "q_multimodal_frames" -> ((s, dir) =>
+      graft.pipeline.Multimodal.frameSamples(
+        graft.pipeline.Multimodal.mediaTable(s, dir))
+        .select(col("doc_id"),
+          size(col("frame_indices")).cast("long").as("n_frames"),
+          expr("array_join(transform(frame_indices, i -> cast(i as string)), ',')")
+            .as("frames"))
+        .orderBy("doc_id")),
+
     "q_multimodal_resize" -> ((s, dir) =>
       graft.pipeline.Multimodal.resizePlan(
         graft.pipeline.Multimodal.mediaTable(s, dir), maxDim = 256)
@@ -1093,6 +1102,13 @@ object SparkEntry {
              ${dFingerprint(s"concat('payload-', doc_id, '-', repeat('x', cast(doc_id % 50 as int)))")}
                AS checksum
            FROM documents ORDER BY doc_id""",
+      "q_multimodal_frames" ->
+        s"""SELECT doc_id,
+             cast(least(doc_id % 300, 7) + 1 as bigint) AS n_frames,
+             array_to_string(list_transform(
+               range(0, cast(least(doc_id % 300, 7) + 1 as int)),
+               i -> cast(i as varchar)), ',') AS frames
+           FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""",
       "q_multimodal_resize" ->
         """SELECT doc_id,
              CASE doc_id % 3 WHEN 0 THEN concat('img-', doc_id)
