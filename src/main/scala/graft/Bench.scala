@@ -216,12 +216,29 @@ object Bench {
       }
     } finally { s.stop() }
 
+    // ANN recall@5 vs the exact brute-force ranking — reported per round so
+    // approximate-path quality is tracked alongside wall time
+    val (recallLsh, recallIvf) = {
+      val sR = session(cpus)
+      try {
+        import graft.pipeline.Similarity
+        val emb = Similarity.embeddings(sR, sfDir)
+        def pairs(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val exact = pairs(Similarity.bruteForceTopK(emb, 20, 5))
+        val lsh = pairs(Similarity.lshTopK(emb, 20, 5))
+        val ivf = pairs(Similarity.ivfTopK(emb, 20, 5))
+        (exact.intersect(lsh).size.toDouble / exact.size,
+          exact.intersect(ivf).size.toDouble / exact.size)
+      } catch { case _: Throwable => (-1.0, -1.0) } finally { sR.stop() }
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val sh = shuffleMb.map { case (k, v) => "\"" + k + f"\":$v%.1f" }.mkString("{", ",", "}")
     def passArr(n: Int) = passes(n).map(t => f"$t%.2f").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
     val crawlMs = crawlRoundMs.mkString("[", ",", "]")
     println(
-      f"""{"metric":"frontier throughput (URLs scheduled+deduped/sec)","value":$thr32%.0f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","headline_total_sec":$total%.3f,"shuffle_write_mb":$sh,"frontier_urls":$nUrls,"thr_local2":$thr2%.0f,"thr_local8":$thr8%.0f,"thr_local32":$thr32%.0f,"passes_local2":${passArr(2)},"passes_local8":${passArr(8)},"passes_local32":${passArr(32)},"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"crawl_round_ms":$crawlMs,"selection_us_per_page":$selUsPerDoc%.1f,"selection_pages":$selDocs,"reference_selection_us":36.6,"scaling_note":"3 interleaved passes per N, per-N min reported with all samples; host vCPU oversubscription caps raw 8-to-32 CPU scaling at ~2.6x, so 2-to-8 is the engine-scaling pair and 8-to-32 carries the congestion caveat; crawl_round_ms = per-round compute wall over 4 discovery rounds (seen grows each round, incremental bloom keeps cost flat)"}""")
+      f"""{"metric":"frontier throughput (URLs scheduled+deduped/sec)","value":$thr32%.0f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","headline_total_sec":$total%.3f,"shuffle_write_mb":$sh,"frontier_urls":$nUrls,"thr_local2":$thr2%.0f,"thr_local8":$thr8%.0f,"thr_local32":$thr32%.0f,"passes_local2":${passArr(2)},"passes_local8":${passArr(8)},"passes_local32":${passArr(32)},"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"crawl_round_ms":$crawlMs,"ann_recall5_lsh":$recallLsh%.3f,"ann_recall5_ivf":$recallIvf%.3f,"selection_us_per_page":$selUsPerDoc%.1f,"selection_pages":$selDocs,"reference_selection_us":36.6,"scaling_note":"3 interleaved passes per N, per-N min reported with all samples; host vCPU oversubscription caps raw 8-to-32 CPU scaling at ~2.6x, so 2-to-8 is the engine-scaling pair and 8-to-32 carries the congestion caveat; crawl_round_ms = per-round compute wall over 4 discovery rounds (seen grows each round, incremental bloom keeps cost flat)"}""")
   }
 }
