@@ -187,6 +187,39 @@ class RealPageSpec extends AnyFunSuite {
     assert(m.attr("id").contains("not-main"))
   }
 
+  // tests/parsing.rs:89-105 parse_doc_meta_charset — head metadata with
+  // self-closing link/meta and charset attrs parses to a document tree
+  test("meta charset head parses clean") {
+    val d = Doc.parse(
+      """<!DOCTYPE html>
+    <html>
+        <head>
+            <title>Test</title>
+            <meta charset="UTF-8" />
+            <link type="text/css" rel="stylesheet" charset="UTF-8" href="/static/translateelement.css" />
+            <script type="text/javascript" charset="UTF-8" src="/static/js/element/main.js"></script>
+        </head>
+        <body>
+            <p>This is a test page contents.</p>
+        </body>
+    </html>""")
+    assert(d.arena(0).kind == graft.model.NodeKind.Document)
+    assert(d.select("head meta[charset]").length == 1)
+    assert(d.select("body p").text == "This is a test page contents.")
+    assert(d.validate.isEmpty)
+  }
+
+  // the markdown serializer must be total and content-bearing on real pages
+  test("markdown serialization is total on real pages") {
+    for (page <- Seq("rustwiki.html", "hacker_news.html", "wisburg.html")) {
+      val md = RealPages.doc(page).mdText
+      assert(md != null && md.nonEmpty, s"$page produced empty markdown")
+    }
+    // spot content: the hacker_news page yields pipe-free link markdown
+    val hn = RealPages.doc("hacker_news.html").mdText
+    assert(hn.contains("]("))
+  }
+
   // tests/node-traversal.rs:373-395 — find name-path equals CSS descendant
   // select for these paths on the real page
   test("hacker_news.html: find(body,td,a) == select('body td a')") {
