@@ -136,6 +136,7 @@ object TextPipeline {
     * At scale the band-bucket join bounds fan-out to real near-dup clusters
     * (no all-pairs); the verify step is per-candidate-pair only. */
   def minhashPairs(corpus: DataFrame, minJ: Double): DataFrame = {
+    graft.spark.GraftFunctions.register(corpus.sparkSession)
     // the shingle table is computed ONCE and persisted for its three
     // consumers (band generation + the two payload rejoins) — the in-query
     // analog of the signature table a 100 TB pipeline materializes to
@@ -149,7 +150,8 @@ object TextPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val payload = sh
     val bands = sh
-      .withColumn("sig", expr(minhashSigSql("shingles")))
+      // native one-pass signature (≡ minhashSigSql, PipelineSpec differential)
+      .withColumn("sig", graft.spark.GraftFunctions.minhash_sig(col("shingles")))
       .select(col("doc_id"),
         posexplode(expr(
           """transform(sequence(0, 3), b ->

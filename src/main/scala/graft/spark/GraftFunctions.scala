@@ -50,6 +50,7 @@ object GraftFunctions {
     }
     add("dom_mutate_ops")(es => DomMutateOps(es))
     add("dom_find")(es => DomFind(es(0), es(1)))
+    add("minhash_sig")(es => MinhashSig(es.head))
     add("parse_html_meta")(es => ParseHtmlMeta(es.head, fragment = false))
     add("parse_fragment_meta")(es => ParseHtmlMeta(es.head, fragment = true))
     add("dom_copy_selection")(es => DomCopySelection(es))
@@ -105,6 +106,7 @@ object GraftFunctions {
   def dom_mutate_ops(nodes: Column, ops: Seq[(String, String, Column, Column)]): Column =
     call_function("dom_mutate_ops",
       nodes +: ops.flatMap { case (css, op, a1, a2) => Seq(lit(css), lit(op), a1, a2) }: _*)
+  def minhash_sig(shingles: Column): Column = call_function("minhash_sig", shingles)
   def dom_find(nodes: Column, path: Seq[String]): Column =
     call_function("dom_find", nodes, lit(path.mkString(",")))
   def parse_html_meta(html: Column): Column = call_function("parse_html_meta", html)

@@ -18,6 +18,18 @@ class PipelineSpec extends AnyFunSuite {
 
   val sf = "/root/testdata/sf0.001"
 
+  test("native minhash_sig equals the documented SQL-HOF signature") {
+    graft.spark.GraftFunctions.register(spark)
+    val corpus = TextPipeline.withSyntheticDups(TextPipeline.documents(spark, sf))
+    val sh = TextPipeline.withShingles(corpus).select(col("doc_id"), col("shingles"))
+    val diff = sh
+      .withColumn("a", graft.spark.GraftFunctions.minhash_sig(col("shingles")))
+      .withColumn("b", expr(TextPipeline.minhashSigSql("shingles")))
+      .filter(expr("a IS DISTINCT FROM b"))
+      .count()
+    assert(diff == 0L)
+  }
+
   test("LSH ANN recall@5 vs brute force is usable (approximate by design)") {
     val emb = Similarity.embeddings(spark, sf)
     val exact = Similarity.bruteForceTopK(emb, nQueries = 20, k = 5)
