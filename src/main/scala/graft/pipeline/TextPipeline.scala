@@ -8,13 +8,13 @@ import org.apache.spark.sql.functions._
  * deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard), text analysis
  * (language-ID, quality scoring, token counting, fingerprinting).
  *
- * Everything here is Spark SQL built-ins / higher-order functions — fully
- * codegen-eligible, no UDFs, no custom expressions — and every hash is
+ * Everything here is Spark SQL built-ins / higher-order functions (plus one
+ * native expression, [[graft.spark.MinhashSig]], that computes exactly the
+ * documented HOF signature in a single pass) — no UDFs — and every hash is
  * md5-derived or modular arithmetic (P = 1e9+7) so the DuckDB oracle can
  * reproduce results bit-for-bit (xxhash64 would be Spark-only). At 100 TB
- * these run as one
- * narrow projection stage per doc + one shuffle per groupBy/join, with LSH
- * banding keeping the join fan-out bounded.
+ * these run as one narrow projection stage per doc + one shuffle per
+ * groupBy/join, with LSH banding keeping the join fan-out bounded.
  */
 object TextPipeline {
 
