@@ -213,12 +213,14 @@ object TextPipeline {
   /** SimHash near-dup pairs: 32-bit signature, 4 byte-bands; candidates share
     * a band; verified with hamming distance ≤ maxHam. */
   def simhashPairs(corpus: DataFrame, maxHam: Int): DataFrame = {
+    graft.spark.GraftFunctions.register(corpus.sparkSession)
     // one persisted (doc_id, sim) signature table for band generation + the
     // two payload rejoins (see minhashPairs)
     val sig = corpus
       .withColumn("toks", expr(tokensSql("text")))
       .withColumn("th", expr(s"transform(toks, w -> ${wordHashSql("w")})"))
-      .withColumn("sim", expr(simhashSql("th")))
+      // native one-pass signature (≡ simhashSql, PipelineSpec differential)
+      .withColumn("sim", graft.spark.GraftFunctions.simhash_bits(col("th")))
       .select("doc_id", "sim")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sig.select(col("doc_id"),

@@ -51,6 +51,7 @@ object GraftFunctions {
     add("dom_mutate_ops")(es => DomMutateOps(es))
     add("dom_find")(es => DomFind(es(0), es(1)))
     add("minhash_sig")(es => MinhashSig(es.head))
+    add("simhash_bits")(es => SimhashBits(es.head))
     add("parse_html_meta")(es => ParseHtmlMeta(es.head, fragment = false))
     add("parse_fragment_meta")(es => ParseHtmlMeta(es.head, fragment = true))
     add("dom_copy_selection")(es => DomCopySelection(es))
@@ -107,6 +108,7 @@ object GraftFunctions {
     call_function("dom_mutate_ops",
       nodes +: ops.flatMap { case (css, op, a1, a2) => Seq(lit(css), lit(op), a1, a2) }: _*)
   def minhash_sig(shingles: Column): Column = call_function("minhash_sig", shingles)
+  def simhash_bits(tokenHashes: Column): Column = call_function("simhash_bits", tokenHashes)
   def dom_find(nodes: Column, path: Seq[String]): Column =
     call_function("dom_find", nodes, lit(path.mkString(",")))
   def parse_html_meta(html: Column): Column = call_function("parse_html_meta", html)

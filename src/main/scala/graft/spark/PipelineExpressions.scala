@@ -51,3 +51,41 @@ case class MinhashSig(child: Expression)
   override protected def withNewChildInternal(c: Expression): MinhashSig =
     copy(child = c)
 }
+
+/** `simhash_bits(token_hashes)` ≡ `TextPipeline.simhashSql`: 32-bit SimHash,
+  * bit b set iff ≥ half the token hashes have bit b set (empty input sets
+  * every bit, matching the HOF's 0 >= 0 comparison). One pass instead of
+  * 32 interpreted `filter` scans. Token hashes are non-negative (mod P), so
+  * the HOF's integer `div` equals the unsigned shift used here. */
+case class SimhashBits(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](32)
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var b = 0
+      while (b < 32) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1
+        b += 1
+      }
+      j += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 32) {
+      if (2 * counts(b) >= n) sim += (1L << b)
+      b += 1
+    }
+    sim
+  }
+
+  override def prettyName: String = "simhash_bits"
+  override protected def withNewChildInternal(c: Expression): SimhashBits =
+    copy(child = c)
+}

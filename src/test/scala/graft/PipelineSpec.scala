@@ -30,6 +30,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(diff == 0L)
   }
 
+  test("native simhash_bits equals the documented SQL-HOF simhash") {
+    graft.spark.GraftFunctions.register(spark)
+    val corpus = TextPipeline.withSyntheticDups(TextPipeline.documents(spark, sf))
+    val th = corpus
+      .withColumn("toks", expr(TextPipeline.tokensSql("text")))
+      .withColumn("th", expr(s"transform(toks, w -> ${TextPipeline.wordHashSql("w")})"))
+    val diff = th
+      .withColumn("a", graft.spark.GraftFunctions.simhash_bits(col("th")))
+      .withColumn("b", expr(TextPipeline.simhashSql("th")))
+      .filter(expr("a IS DISTINCT FROM b"))
+      .count()
+    assert(diff == 0L)
+  }
+
   test("LSH ANN recall@5 vs brute force is usable (approximate by design)") {
     val emb = Similarity.embeddings(spark, sf)
     val exact = Similarity.bruteForceTopK(emb, nQueries = 20, k = 5)
