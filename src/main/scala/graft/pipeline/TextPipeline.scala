@@ -241,6 +241,7 @@ object TextPipeline {
   /** Text analysis: tokens, language guess, quality components, fingerprint —
     * one narrow projection, fully codegen. */
   def textAnalysis(docs: DataFrame): DataFrame = {
+    graft.spark.GraftFunctions.register(docs.sparkSession)
     val scores = langMarkers.map { case (lang, markers) =>
       (lang, langScoreSql("toks", markers))
     }
@@ -269,6 +270,7 @@ object TextPipeline {
         // regex pass is the deterministic, engine-portable stand-in)
         expr("""size(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]', 0))""")
           .cast("long").as("n_bpe_tokens"),
-        expr(fingerprintSql("text")).as("fingerprint"))
+        // native one-pass fold (≡ fingerprintSql, PipelineSpec differential)
+        graft.spark.GraftFunctions.norm_fingerprint(col("text")).as("fingerprint"))
   }
 }

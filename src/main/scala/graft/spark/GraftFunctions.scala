@@ -52,6 +52,7 @@ object GraftFunctions {
     add("dom_find")(es => DomFind(es(0), es(1)))
     add("minhash_sig")(es => MinhashSig(es.head))
     add("simhash_bits")(es => SimhashBits(es.head))
+    add("norm_fingerprint")(es => NormFingerprint(es.head))
     add("parse_html_meta")(es => ParseHtmlMeta(es.head, fragment = false))
     add("parse_fragment_meta")(es => ParseHtmlMeta(es.head, fragment = true))
     add("dom_copy_selection")(es => DomCopySelection(es))
@@ -109,6 +110,7 @@ object GraftFunctions {
       nodes +: ops.flatMap { case (css, op, a1, a2) => Seq(lit(css), lit(op), a1, a2) }: _*)
   def minhash_sig(shingles: Column): Column = call_function("minhash_sig", shingles)
   def simhash_bits(tokenHashes: Column): Column = call_function("simhash_bits", tokenHashes)
+  def norm_fingerprint(text: Column): Column = call_function("norm_fingerprint", text)
   def dom_find(nodes: Column, path: Seq[String]): Column =
     call_function("dom_find", nodes, lit(path.mkString(",")))
   def parse_html_meta(html: Column): Column = call_function("parse_html_meta", html)

@@ -89,3 +89,47 @@ case class SimhashBits(child: Expression)
   override protected def withNewChildInternal(c: Expression): SimhashBits =
     copy(child = c)
 }
+
+/** `norm_fingerprint(text)` ≡ `TextPipeline.fingerprintSql`: the char fold
+  * (acc*31 + codepoint) % P over `regexp_replace(trim(text), '\\s+', ' ')`,
+  * computed in one streaming pass — the HOF form materializes a one-char
+  * string per character. Normalization replicated exactly: Spark `trim`
+  * strips 0x20 only; Java regex `\s` is [ \t\n\f\r]; whitespace runs
+  * collapse to a single space (codepoint 32), including leading/trailing
+  * runs of non-space whitespace that survive trim. */
+case class NormFingerprint(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  private final val P = graft.pipeline.TextPipeline.P
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  private def isJavaS(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+
+  override def nullSafeEval(input: Any): Any = {
+    val s0 = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    var start = 0
+    var end = s0.length
+    while (start < end && s0.charAt(start) == ' ') start += 1
+    while (end > start && s0.charAt(end - 1) == ' ') end -= 1
+    var acc = 0L
+    var pendingSpace = false
+    var i = start
+    while (i < end) {
+      val cp = s0.codePointAt(i)
+      if (isJavaS(cp)) pendingSpace = true
+      else {
+        if (pendingSpace) { acc = (acc * 31 + 32) % P; pendingSpace = false }
+        acc = (acc * 31 + cp) % P
+      }
+      i += Character.charCount(cp)
+    }
+    if (pendingSpace) acc = (acc * 31 + 32) % P
+    acc
+  }
+
+  override def prettyName: String = "norm_fingerprint"
+  override protected def withNewChildInternal(c: Expression): NormFingerprint =
+    copy(child = c)
+}

@@ -44,6 +44,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(diff == 0L)
   }
 
+  test("native norm_fingerprint equals the documented SQL-HOF fold") {
+    graft.spark.GraftFunctions.register(spark)
+    import spark.implicits._
+    // corpus rows plus adversarial whitespace/unicode shapes
+    val extra = Seq("", " ", "  a  b  ", "a\t\nb", "\nx\n", "tabvt",
+      "é ünï çödé", "mixed \r\n runs   here ").toDF("text")
+    val texts = TextPipeline.documents(spark, sf).select("text").unionByName(extra)
+    val diff = texts
+      .withColumn("a", graft.spark.GraftFunctions.norm_fingerprint(col("text")))
+      .withColumn("b", expr(TextPipeline.fingerprintSql("text")))
+      .filter(expr("a IS DISTINCT FROM b"))
+      .count()
+    assert(diff == 0L)
+  }
+
   test("LSH ANN recall@5 vs brute force is usable (approximate by design)") {
     val emb = Similarity.embeddings(spark, sf)
     val exact = Similarity.bruteForceTopK(emb, nQueries = 20, k = 5)
