@@ -6,7 +6,7 @@ object QTime {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (q <- Seq("q_dom_mutate_validate", "q_dom_mutate_class")) {
+    for (q <- Seq("q_text_analysis", "q_dedup_simhash", "q_dedup_minhash")) {
       val fn = graft.SparkEntry.queries(q)
       fn(spark, "/root/testdata/sf0.1").write.format("noop").mode("overwrite").save()
       val t = (1 to 3).map { _ =>
