@@ -131,16 +131,26 @@ final class Sel(val doc: Doc, val ids: Seq[Int]) {
     else graft.css.SelectorAst.tryParse(css)
       .map(l => new Sel(doc, ids.filter(i => Engine.matches(acc, i, l))))
 
-  def add(css: String): Sel = union(doc.select(css))
+  /** Empty selection: the empty clone (reference `add_matcher`,
+    * `selection.rs:380-387`, has no first node → no tree root → clone). */
+  def add(css: String): Sel =
+    if (ids.isEmpty) this else union(doc.select(css))
 
-  /** None on an invalid selector (`selection.rs:367-387` try_add). */
+  /** Empty selection: Some(empty clone) WITHOUT parsing the selector — even
+    * an invalid one succeeds (`selection.rs:365-369`); otherwise None on an
+    * invalid selector. */
   def tryAdd(css: String): Option[Sel] =
-    graft.css.SelectorAst.tryParse(css)
+    if (ids.isEmpty) Some(this)
+    else graft.css.SelectorAst.tryParse(css)
       .map(l => union(new Sel(doc, graft.css.Engine.select(acc, Seq(0), l).toSeq)))
 
-  /** Both selections must belong to one tree (`selection.rs:791-798`
-    * asserts; `tests/selection-traversal.rs:418-429` expects a panic). */
+  /** Either side empty: the other side wins BEFORE the same-tree assert
+    * (`selection.rs:400-409` — a cross-tree add with an empty side succeeds);
+    * both non-empty from different trees panics
+    * (`tests/selection-traversal.rs:418-429`). */
   def addSelection(other: Sel): Sel = {
+    if (ids.isEmpty) return other
+    if (other.ids.isEmpty) return this
     require(other.doc eq doc, "selections belong to different trees")
     union(other)
   }

@@ -102,7 +102,10 @@ object Serializer {
 
     // Rust char::is_whitespace = Unicode White_Space (includes U+00A0);
     // Java Character.isWhitespace does NOT — match the reference exactly.
-    def isUws(c: Char): Boolean = Character.isWhitespace(c) || Character.isSpaceChar(c)
+    def isUws(c: Char): Boolean =
+      if (c == '\u0085') true
+      else if (c >= '\u001C' && c <= '\u001F') false
+      else Character.isWhitespace(c) || Character.isSpaceChar(c)
     def pushNormalized(newText: String): Unit = {
       val followsNewline = text.length == 0 || endsWithAny('\n', ' ')
       val pushStartWs = !followsNewline && newText.nonEmpty && isUws(newText.charAt(0))
@@ -207,7 +210,27 @@ object Serializer {
 
     type B = java.lang.StringBuilder
     def lb(opts: Opts): String = if (opts.br) "<br>" else "\n"
-    def isWs(c: Char) = Character.isWhitespace(c)
+    // Rust char::is_whitespace = Unicode White_Space exactly: Java
+    // isWhitespace misses U+0085/U+00A0/U+2007/U+202F (NEL + no-break
+    // spaces — &nbsp; is everywhere in real HTML) and wrongly includes
+    // U+001C..U+001F; isSpaceChar supplies Zs/Zl/Zp including no-break.
+    def isWs(c: Char): Boolean =
+      if (c == '\u0085') true
+      else if (c >= '\u001C' && c <= '\u001F') false
+      else Character.isWhitespace(c) || Character.isSpaceChar(c)
+
+    /** Rust `split_whitespace()`: split on White_Space runs, no empties. */
+    def splitWs(s: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0; val n = s.length
+      while (i < n) {
+        while (i < n && isWs(s.charAt(i))) i += 1
+        val start = i
+        while (i < n && !isWs(s.charAt(i))) i += 1
+        if (i > start) out += s.substring(start, i)
+      }
+      out.toArray
+    }
 
     def trimRightSpace(sb: B): Unit =
       while (sb.length > 0 && sb.charAt(sb.length - 1) == ' ') sb.setLength(sb.length - 1)
@@ -243,7 +266,7 @@ object Serializer {
       }
       val pushStart = !followsNewline && s.nonEmpty && isWs(s.charAt(0))
       val pushEnd = s.nonEmpty && isWs(s.charAt(s.length - 1))
-      val words = s.split("\\s+").filter(_.nonEmpty)
+      val words = splitWs(s)
       val result = new java.lang.StringBuilder
       if (words.nonEmpty) {
         if (pushStart) result.append(' ')
@@ -280,7 +303,7 @@ object Serializer {
     }
 
     def sanitizeAttrValue(raw: String): String =
-      raw.split("\\s+").find(_.nonEmpty).getOrElse("").filter(ch =>
+      splitWs(raw).headOption.getOrElse("").filter(ch =>
         (ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z') ||
         (ch >= '0' && ch <= '9') || ch == '-' || ch == '_' || ch == '+' ||
         ch == '.' || ch == '#')
@@ -306,7 +329,7 @@ object Serializer {
               done = true
               val cls = acc.attr(c, "class")
               if (cls != null)
-                res = cls.split("\\s+").find(_.startsWith("language-"))
+                res = splitWs(cls).find(_.startsWith("language-"))
                   .map(s => sanitizeAttrValue(s.substring("language-".length)))
             } else c = acc.nextSibling(c)
           }

@@ -787,6 +787,17 @@ class EngineSpec extends AnyFunSuite {
     val other = Doc.parse("<div id=\"second-child\"></div>")
     intercept[IllegalArgumentException](
       first.addSelection(other.select("#second-child")))
+    // EMPTY selection semantics (selection.rs:365-369, 380-387, 400-409):
+    // try_add succeeds WITHOUT parsing (even an invalid selector), add/
+    // add_matcher return the empty clone, add_selection returns the other
+    // side before the same-tree assert (cross-tree with an empty side is OK)
+    val empty = d.select("#no-such")
+    assert(empty.isEmpty)
+    assert(empty.tryAdd(":;'").map(_.length).contains(0))
+    assert(empty.tryAdd("#second-child").map(_.length).contains(0))
+    assert(empty.add("#second-child").isEmpty)
+    assert(empty.addSelection(other.select("#second-child")).length == 1)
+    assert(first.addSelection(other.select("#no-such")).length == 1)
   }
 
   // selection-query.rs:90-116 test_filter_selection_other

@@ -260,4 +260,16 @@ class MdSpec extends AnyFunSuite {
       "- Spark\n- Swift\n- V\n- Zig\n\n**Rust** is a general-purpose programming language"
     assert(md(contents) == expected)
   }
+
+  // ADVICE r2: Rust char::is_whitespace = Unicode White_Space — U+00A0
+  // (&nbsp;) and U+0085 collapse as whitespace in md text normalization;
+  // Java \s would preserve them verbatim. A run of nbsp between words
+  // becomes one space; leading/trailing nbsp acts as a word boundary.
+  test("nbsp and NEL collapse as whitespace in md text (text_utils.rs:6-33)") {
+    assert(md("<span>a\u00A0\u00A0b</span>") == "a b")
+    assert(md("<span>a\u0085b</span>") == "a b")
+    assert(md("<p>\u00A0lead and trail\u00A0</p>") == "lead and trail")
+    // U+001C is NOT White_Space in Rust (it IS in Java) — preserved
+    assert(md("<span>a\u001Cb</span>") == "a\u001Cb")
+  }
 }
