@@ -230,14 +230,14 @@ object HtmlParser {
                 i += 1
                 val e = html.indexOf(q, i)
                 val stop = if (e == -1) n else e
-                value = Entities.decode(html.substring(i, stop))
+                value = Entities.decode(html.substring(i, stop), inAttr = true)
                 i = if (e == -1) n else e + 1
               } else {
                 val vSb = new java.lang.StringBuilder
                 while (i < n && !Character.isWhitespace(html.charAt(i)) && html.charAt(i) != '>') {
                   vSb.append(html.charAt(i)); i += 1
                 }
-                value = Entities.decode(vSb.toString)
+                value = Entities.decode(vSb.toString, inAttr = true)
               }
             }
           }
@@ -1165,70 +1165,95 @@ object Renumber {
   }
 }
 
-/** Minimal HTML entity decoding (named common set + numeric). */
+/** HTML entity decoding with the FULL HTML5 named-reference table
+ * ([[EntityTable]], 2,231 names) — the coverage html5ever gives the
+ * reference. Semantics per the spec's character-reference states:
+ *  - `&name;` exact match against the 2,125-name table (longest run first)
+ *  - otherwise the longest LEGACY prefix (the 106 no-semicolon names)
+ *    decodes — except in an ATTRIBUTE value when the next character is
+ *    alphanumeric or `=` (`&notit;` -> `\u00ACit;` in text, untouched in an
+ *    attribute; `<base foo=&amp>` -> `&`)
+ *  - numeric references decode with or without the trailing semicolon,
+ *    with the spec's windows-1252 remap of the C1 range, and U+FFFD for
+ *    NUL / surrogates / out-of-range. */
 object Entities {
-  private val named: Map[String, String] = Map(
-    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
-    "nbsp" -> " ", "copy" -> "©", "reg" -> "®", "trade" -> "™",
-    "hellip" -> "…", "mdash" -> "—", "ndash" -> "–",
-    "lsquo" -> "‘", "rsquo" -> "’", "ldquo" -> "“", "rdquo" -> "”",
-    "laquo" -> "«", "raquo" -> "»", "times" -> "×", "divide" -> "÷",
-    "deg" -> "°", "plusmn" -> "±", "micro" -> "µ", "para" -> "¶",
-    "middot" -> "·", "bull" -> "•", "dagger" -> "†",
-    "sect" -> "§", "euro" -> "€", "pound" -> "£", "yen" -> "¥",
-    "cent" -> "¢", "shy" -> "­", "larr" -> "←", "rarr" -> "→",
-    "uarr" -> "↑", "darr" -> "↓", "minus" -> "−", "ne" -> "≠",
-    "le" -> "≤", "ge" -> "≥", "infin" -> "∞", "prime" -> "′",
-    "Prime" -> "″", "frac12" -> "½", "frac14" -> "¼", "sup2" -> "²",
-    "sup3" -> "³", "ouml" -> "ö", "auml" -> "ä", "uuml" -> "ü",
-    "szlig" -> "ß", "eacute" -> "é", "egrave" -> "è", "agrave" -> "à")
+  private val withSemi = EntityTable.withSemi
+  private val legacy = EntityTable.legacy
 
-  /** Legacy named entities decoded even WITHOUT a trailing semicolon (the
-    * HTML5 "missing semicolon" set we support; html5ever golden
-    * `<base foo=&amp>` → `&`). Only when not followed by [A-Za-z0-9=]. */
-  private val legacy: Map[String, String] = Map(
-    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
-    "nbsp" -> " ", "copy" -> "©", "reg" -> "®")
-  private val legacyMaxLen = legacy.keys.map(_.length).max
+  /** Spec numeric-character-reference-end remapping. */
+  private def remapNumeric(cp: Int): Int = cp match {
+    case 0x00 => 0xFFFD
+    case 0x80 => 0x20AC; case 0x82 => 0x201A; case 0x83 => 0x0192
+    case 0x84 => 0x201E; case 0x85 => 0x2026; case 0x86 => 0x2020
+    case 0x87 => 0x2021; case 0x88 => 0x02C6; case 0x89 => 0x2030
+    case 0x8A => 0x0160; case 0x8B => 0x2039; case 0x8C => 0x0152
+    case 0x8E => 0x017D; case 0x91 => 0x2018; case 0x92 => 0x2019
+    case 0x93 => 0x201C; case 0x94 => 0x201D; case 0x95 => 0x2022
+    case 0x96 => 0x2013; case 0x97 => 0x2014; case 0x98 => 0x02DC
+    case 0x99 => 0x2122; case 0x9A => 0x0161; case 0x9B => 0x203A
+    case 0x9C => 0x0153; case 0x9E => 0x017E; case 0x9F => 0x0178
+    case c if c > 0x10FFFF || (c >= 0xD800 && c <= 0xDFFF) => 0xFFFD
+    case c => c
+  }
 
-  def decode(s: String): String = {
+  private def isAsciiAlnum(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+
+  def decode(s: String): String = decode(s, inAttr = false)
+
+  def decode(s: String, inAttr: Boolean): String = {
     if (s.indexOf('&') == -1) return s
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
     val n = s.length
     while (i < n) {
       val c = s.charAt(i)
-      if (c == '&') {
-        val semi = s.indexOf(';', i + 1)
-        var handled = false
-        if (semi != -1 && semi - i <= 12) {
-          val ent = s.substring(i + 1, semi)
-          if (ent.startsWith("#x") || ent.startsWith("#X")) {
-            try { sb.appendCodePoint(Integer.parseInt(ent.substring(2), 16)); i = semi + 1; handled = true }
-            catch { case _: Exception => }
-          } else if (ent.startsWith("#")) {
-            try { sb.appendCodePoint(Integer.parseInt(ent.substring(1))); i = semi + 1; handled = true }
-            catch { case _: Exception => }
-          } else named.get(ent) match {
-            case Some(v) => sb.append(v); i = semi + 1; handled = true
-            case None =>
+      if (c != '&') { sb.append(c); i += 1 }
+      else if (i + 1 < n && s.charAt(i + 1) == '#') {
+        // numeric reference: decodes with or without the semicolon
+        val hex = i + 2 < n && (s.charAt(i + 2) == 'x' || s.charAt(i + 2) == 'X')
+        var j = i + (if (hex) 3 else 2)
+        var cp = 0L
+        var any = false
+        while (j < n && {
+          val d = Character.digit(s.charAt(j), if (hex) 16 else 10); d >= 0
+        } && cp <= 0x10FFFF) {
+          cp = cp * (if (hex) 16 else 10) + Character.digit(s.charAt(j), if (hex) 16 else 10)
+          any = true; j += 1
+        }
+        while (j < n && Character.digit(s.charAt(j), if (hex) 16 else 10) >= 0) j += 1
+        if (any) {
+          sb.appendCodePoint(remapNumeric(math.min(cp, 0x110000L).toInt))
+          i = j + (if (j < n && s.charAt(j) == ';') 1 else 0)
+        } else { sb.append(c); i += 1 }
+      } else {
+        // named reference: longest alphanumeric run (names are [A-Za-z0-9]+)
+        var j = i + 1
+        val runEnd = math.min(n, i + 1 + EntityTable.maxNameLen)
+        while (j < runEnd && isAsciiAlnum(s.charAt(j))) j += 1
+        var decoded: String = null
+        var consumed = 0
+        if (j > i + 1 && j < n && s.charAt(j) == ';') {
+          val v = withSemi.get(s.substring(i + 1, j))
+          if (v != null) { decoded = v; consumed = j - i + 1 }
+        }
+        if (decoded == null && j > i + 1) {
+          // longest legacy prefix of the run
+          var len = math.min(EntityTable.legacyMaxLen, j - (i + 1))
+          while (decoded == null && len >= 2) {
+            val v = legacy.get(s.substring(i + 1, i + 1 + len))
+            if (v != null) {
+              val after = i + 1 + len
+              val blocked = inAttr && after < n &&
+                (isAsciiAlnum(s.charAt(after)) || s.charAt(after) == '=')
+              if (!blocked) { decoded = v; consumed = 1 + len }
+              else len = 0 // a shorter prefix would be blocked the same way
+            } else len -= 1
           }
         }
-        if (!handled) {
-          // semicolon-less legacy entity: longest match, not followed by
-          // an alphanumeric or '='
-          var len = math.min(legacyMaxLen, n - i - 1)
-          var hit = -1
-          while (hit == -1 && len >= 2) {
-            if (legacy.contains(s.substring(i + 1, i + 1 + len)) &&
-                (i + 1 + len >= n || { val nx = s.charAt(i + 1 + len)
-                  !Character.isLetterOrDigit(nx) && nx != '=' })) hit = len
-            else len -= 1
-          }
-          if (hit != -1) { sb.append(legacy(s.substring(i + 1, i + 1 + hit))); i += 1 + hit }
-          else { sb.append(c); i += 1 }
-        }
-      } else { sb.append(c); i += 1 }
+        if (decoded != null) { sb.append(decoded); i += consumed }
+        else { sb.append(c); i += 1 }
+      }
     }
     sb.toString
   }
