@@ -378,7 +378,11 @@ object Engine {
 
   def matchCompound(acc: NodeAccess, i: Int, c: Compound): Boolean = {
     c.tag match {
-      case Some(t) => if (acc.name(i) != t) return false
+      // lowered form matches HTML-ns (lowercase) names; tagExact carries the
+      // selector's original case for adjusted foreign names (foreignObject)
+      case Some(t) =>
+        val nm = acc.name(i)
+        if (nm != t && !c.tagExact.contains(nm)) return false
       case None =>
     }
     c.preds.forall(p => matchPred(acc, i, p))

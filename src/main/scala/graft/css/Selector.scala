@@ -55,8 +55,15 @@ object SelectorAst {
   case object POnlyText extends Pred
   case object PFalse extends Pred // inert pseudo-classes: parse but never match
 
-  /** One compound step: optional tag + simple predicates. */
-  case class Compound(tag: Option[String], preds: List[Pred])
+  /** One compound step: optional tag + simple predicates.
+    * `tagExact` carries the selector's ORIGINAL case when it differs from
+    * the lowered `tag` — foreign (SVG/MathML) elements store adjusted
+    * camelCase names and match the original selector case, while HTML
+    * elements match the lowered form (reference `node/selector.rs:70-88`:
+    * `is_html_element_in_html_document` picks which form the selectors
+    * crate compares). */
+  case class Compound(tag: Option[String], preds: List[Pred],
+      tagExact: Option[String] = None)
 
   /** A complex selector: sequence of (combinator, compound); the first
     * combinator describes the relation to the *scope* (Descendant for
@@ -181,11 +188,15 @@ private final class SelectorParser(input: String) {
 
   private def parseCompound(): Compound = {
     var tag: Option[String] = None
+    var tagExact: Option[String] = None
     val preds = scala.collection.mutable.ListBuffer[Pred]()
     var any = false
     if (peek == '*') { pos += 1; any = true }
     else if (pos < n && isIdentChar(peek) && peek != '-') {
-      tag = Some(ident().toLowerCase)
+      val raw = ident()
+      val low = raw.toLowerCase
+      tag = Some(low)
+      if (raw != low) tagExact = Some(raw) // foreign-element case preserved
       any = true
     }
     var done = false
@@ -199,7 +210,7 @@ private final class SelectorParser(input: String) {
       }
     }
     if (!any) fail("empty compound selector")
-    Compound(tag, preds.toList)
+    Compound(tag, preds.toList, tagExact)
   }
 
   private def parseAttr(): Pred = {

@@ -29,6 +29,73 @@ object HtmlParser {
   val RawTextElements: Set[String] = Set("script", "style", "xmp", "iframe", "noembed", "noframes")
   val RcdataElements: Set[String] = Set("title", "textarea")
 
+  /** HTML5 "rules for parsing tokens in foreign content" data (public spec
+    * tables; html5ever applies the same adjustments, which is how the
+    * reference gets camelCase SVG names like `viewBox`/`foreignObject`). */
+  private[sources] object ForeignContent {
+    /** Start tags that break out of foreign content back to HTML. */
+    private val Breakout: Set[String] = Set(
+      "b", "big", "blockquote", "body", "br", "center", "code", "dd", "div",
+      "dl", "dt", "em", "embed", "h1", "h2", "h3", "h4", "h5", "h6", "head",
+      "hr", "i", "img", "li", "listing", "menu", "meta", "nobr", "ol", "p",
+      "pre", "ruby", "s", "small", "span", "strong", "strike", "sub", "sup",
+      "table", "tt", "u", "ul", "var")
+
+    def isBreakout(name: String, attrs: List[(String, String)]): Boolean =
+      Breakout(name) || (name == "font" &&
+        attrs.exists { case (k, _) => k == "color" || k == "face" || k == "size" })
+
+    /** SVG tag-name case fixups (spec "adjust SVG tag names"). */
+    val SvgTagAdjust: Map[String, String] = Seq(
+      "altGlyph", "altGlyphDef", "altGlyphItem", "animateColor",
+      "animateMotion", "animateTransform", "clipPath", "feBlend",
+      "feColorMatrix", "feComponentTransfer", "feComposite",
+      "feConvolveMatrix", "feDiffuseLighting", "feDisplacementMap",
+      "feDistantLight", "feDropShadow", "feFlood", "feFuncA", "feFuncB",
+      "feFuncG", "feFuncR", "feGaussianBlur", "feImage", "feMerge",
+      "feMergeNode", "feMorphology", "feOffset", "fePointLight",
+      "feSpecularLighting", "feSpotLight", "feTile", "feTurbulence",
+      "foreignObject", "glyphRef", "linearGradient", "radialGradient",
+      "textPath").map(t => t.toLowerCase -> t).toMap
+
+    /** SVG attribute case fixups (spec "adjust SVG attributes"). */
+    val SvgAttrAdjust: Map[String, String] = Seq(
+      "attributeName", "attributeType", "baseFrequency", "baseProfile",
+      "calcMode", "clipPathUnits", "diffuseConstant", "edgeMode",
+      "filterUnits", "glyphRef", "gradientTransform", "gradientUnits",
+      "kernelMatrix", "kernelUnitLength", "keyPoints", "keySplines",
+      "keyTimes", "lengthAdjust", "limitingConeAngle", "markerHeight",
+      "markerUnits", "markerWidth", "maskContentUnits", "maskUnits",
+      "numOctaves", "pathLength", "patternContentUnits", "patternTransform",
+      "patternUnits", "pointsAtX", "pointsAtY", "pointsAtZ", "preserveAlpha",
+      "preserveAspectRatio", "primitiveUnits", "refX", "refY", "repeatCount",
+      "repeatDur", "requiredExtensions", "requiredFeatures",
+      "specularConstant", "specularExponent", "spreadMethod", "startOffset",
+      "stdDeviation", "stitchTiles", "surfaceScale", "systemLanguage",
+      "tableValues", "targetX", "targetY", "textLength", "viewBox",
+      "viewTarget", "xChannelSelector", "yChannelSelector", "zoomAndPan")
+      .map(t => t.toLowerCase -> t).toMap
+
+    def adjustTagName(name: String): String = SvgTagAdjust.getOrElse(name, name)
+
+    /** Adjust SVG/MathML attributes. The xlink:/xml:/xmlns foreign-attribute
+      * namespace adjustment keeps the serialized qualified name identical
+      * (html5ever re-emits `prefix:local`), so the lowercased source string
+      * is already the output form — no rename needed for those. */
+    def adjustAttrs(ns: String, attrs: List[(String, String)]): List[(String, String)] =
+      if (ns == "svg")
+        attrs.map { case (k, v) => (SvgAttrAdjust.getOrElse(k, k), v) }
+      else
+        attrs.map { case (k, v) => (if (k == "definitionurl") "definitionURL" else k, v) }
+
+    def isMathTextIP(ns: String, name: String): Boolean =
+      ns == "math" && (name == "mi" || name == "mo" || name == "mn" ||
+        name == "ms" || name == "mtext")
+
+    def isSvgHtmlIP(ns: String, name: String): Boolean =
+      ns == "svg" && (name == "foreignObject" || name == "desc" || name == "title")
+  }
+
   /** Start tags that close an open <p> (button scope), per HTML5 spec. */
   private val ClosesP: Set[String] = Set(
     "address", "article", "aside", "blockquote", "center", "details",
@@ -353,7 +420,7 @@ object HtmlParser {
    */
   private final class TreeBuilder(html: String, fragment: Boolean) {
 
-    private case class Open(id: Int, name: String)
+    private case class Open(id: Int, name: String, ns: String = "html")
     private final class Fmt(var id: Int, val name: String, val attrs: List[(String, String)])
 
     private val arena = new Arena
@@ -809,8 +876,74 @@ object HtmlParser {
       false
     }
 
+    /** HTML integration point: svg foreignObject/desc/title, or MathML
+      * annotation-xml whose encoding attr is (application/)xhtml. */
+    private def isHtmlIP(o: Open): Boolean =
+      ForeignContent.isSvgHtmlIP(o.ns, o.name) || {
+        o.ns == "math" && o.name == "annotation-xml" && {
+          val enc = arena(o.id).attrs.getOrElse("encoding", "")
+          enc.equalsIgnoreCase("text/html") ||
+            enc.equalsIgnoreCase("application/xhtml+xml")
+        }
+      }
+
+    /** Namespace to process `tokName` under per the spec's tree-construction
+      * dispatcher, or null for the normal HTML rules. */
+    private def foreignNsFor(tokName: String): String = {
+      val t = top
+      if (t.ns == "html") null
+      else if (ForeignContent.isMathTextIP(t.ns, t.name) &&
+        tokName != "mglyph" && tokName != "malignmark") null
+      else if (t.ns == "math" && t.name == "annotation-xml" && tokName == "svg") null
+      else if (isHtmlIP(t)) null
+      else t.ns
+    }
+
+    /** Foreign-content start tag: breakout back to HTML, or insert the
+      * (case-adjusted) foreign element. Fostering never applies here. */
+    private def foreignStartTag(ns: String, name: String,
+        attrs: List[(String, String)], selfClosing: Boolean): Unit = {
+      if (ForeignContent.isBreakout(name, attrs)) {
+        error(s"HTML <$name> breaks out of foreign content")
+        while (top.ns != "html" &&
+          !ForeignContent.isMathTextIP(top.ns, top.name) && !isHtmlIP(top)) popTop()
+        startTagInBody(name, attrs, selfClosing) // reprocess per HTML rules
+      } else {
+        val adjName = if (ns == "svg") ForeignContent.adjustTagName(name) else name
+        val id = arena.createElement(adjName, ForeignContent.adjustAttrs(ns, attrs))
+        insertNode(id, foster = false)
+        if (!selfClosing) stack += Open(id, adjName, ns)
+      }
+    }
+
+    /** Foreign-content end tag (spec "any other end tag"): pop to the
+      * nearest case-insensitive name match above the first HTML element;
+      * returns false when an HTML element is reached first (caller then
+      * processes by the normal HTML rules). */
+    private def foreignEndTag(name: String): Boolean = {
+      if (top.name.toLowerCase != name) error(s"unexpected </$name> in foreign content")
+      var i = stack.length - 1
+      while (i >= floor) {
+        val nd = stack(i)
+        if (nd.ns == "html") return false
+        if (nd.name.toLowerCase == name) {
+          while (stack.length > i) popTop()
+          return true
+        }
+        i -= 1
+      }
+      true // no match above the scaffold: ignored
+    }
+
     private def startTagInBody(name: String, attrs: List[(String, String)],
         selfClosing: Boolean): Unit = {
+      val fns = foreignNsFor(name)
+      if (fns != null) { foreignStartTag(fns, name, attrs, selfClosing); return }
+      // entering foreign content from HTML: <svg>/<math> adjust their own
+      // attributes too (viewBox on the svg root itself)
+      val attrsAdj =
+        if (name == "svg" || name == "math") ForeignContent.adjustAttrs(name, attrs)
+        else attrs
       // HTML5 "in select": only option/optgroup/hr/script/template content is
       // legal; a nested <select> acts as </select>; input/keygen/textarea
       // close the select and reprocess; anything else is ignored
@@ -880,12 +1013,11 @@ object HtmlParser {
           (!inTableCtx || (!TableLegal(name) && !hiddenInput))) reconstructAfe()
       val fosterNow = TableContext(top.name) && !TableLegal(name) && !hiddenInput
       if (fosterNow) error(s"fostered <$name> out of table")
-      val id = arena.createElement(name, attrs)
+      val id = arena.createElement(name, attrsAdj)
       insertNode(id, fosterNow)
       // the element itself counts: a self-closing <svg/>/<math/> pops
       // immediately per the in-body foreign-element rules
-      val inForeign = name == "svg" || name == "math" ||
-        stack.exists(e => e.name == "svg" || e.name == "math")
+      val inForeign = name == "svg" || name == "math"
       if (name == "template") {
         val frag = arena.create(new MutNode(NodeKind.Fragment))
         arena(id).templateContents = frag
@@ -895,7 +1027,7 @@ object HtmlParser {
         stack += Open(id, name)
         pushFormatting(id, name, attrs)
       } else if (!VoidElements(name) && !(selfClosing && inForeign)) {
-        stack += Open(id, name)
+        stack += Open(id, name, if (inForeign) name else "html")
         if (MarkerTags(name)) afe += null
       }
     }
@@ -933,7 +1065,9 @@ object HtmlParser {
         if (fragment || bodyStarted) {
           if (!allWs) {
             if (TableContext(top.name)) error("fostered text out of table")
-            if (!inSelect) reconstructAfe() // in-select: chars insert plainly
+            // in-select inserts chars plainly; foreign content (outside
+            // integration points) neither reconstructs nor fosters
+            if (!inSelect && foreignNsFor("#text") == null) reconstructAfe()
             insertText(s, foster = true)
           } else insertText(s, foster = false)
         } else if (underHead) insertText(s, foster = false)
@@ -1012,6 +1146,8 @@ object HtmlParser {
               startTagInBody(name, attrs, selfClosing)
             }
         }
+
+      case TEnd(name) if top.ns != "html" && foreignEndTag(name) => ()
 
       case TEnd(name) =>
         // in-select: only option/optgroup/select/template end tags apply;

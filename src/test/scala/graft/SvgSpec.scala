@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.Doc
+
+/**
+ * HTML5 foreign-content (SVG/MathML) adjustments — VERDICT r2 ask #5.
+ * Expected serializations follow the spec's "adjust SVG tag names"/"adjust
+ * SVG attributes" tables, which is what html5ever applies for the reference.
+ */
+class SvgSpec extends AnyFunSuite {
+
+  private def body(html: String): String =
+    Doc.parse(html).select("body").innerHtml.getOrElse("")
+
+  test("svg camelCase tag and attribute adjustment incl. the svg root") {
+    assert(body("""<svg viewbox="0 0 10 10"><foreignobject><div>x</div></foreignobject></svg>""") ==
+      """<svg viewBox="0 0 10 10"><foreignObject><div>x</div></foreignObject></svg>""")
+    assert(body("""<svg><lineargradient gradienttransform="s"><stop></stop></lineargradient></svg>""") ==
+      """<svg><linearGradient gradientTransform="s"><stop></stop></linearGradient></svg>""")
+    assert(body("""<svg><text><textpath startoffset="5">t</textpath></text></svg>""") ==
+      """<svg><text><textPath startOffset="5">t</textPath></text></svg>""")
+  }
+
+  test("breakout tags pop foreign content and reprocess as HTML") {
+    assert(body("""<svg><circle/><div>out</div></svg>""") ==
+      """<svg><circle></circle></svg><div>out</div>""")
+    // font WITH color/face/size breaks out; plain font stays foreign
+    assert(body("""<svg><font color="red">x</font></svg>""") ==
+      """<svg></svg><font color="red">x</font>""")
+    assert(body("""<svg><font>x</font></svg>""") ==
+      """<svg><font>x</font></svg>""")
+  }
+
+  test("HTML integration points: foreignObject/desc and annotation-xml") {
+    // HTML rules inside foreignObject: p closes p, names lowercase
+    assert(body("""<svg><foreignobject><p>a<p>b</p></foreignobject></svg>""") ==
+      """<svg><foreignObject><p>a</p><p>b</p></foreignObject></svg>""")
+    assert(body("""<math><annotation-xml encoding="text/HTML"><p>x</p></annotation-xml></math>""") ==
+      """<math><annotation-xml encoding="text/HTML"><p>x</p></annotation-xml></math>""")
+  }
+
+  test("MathML text integration points and definitionURL") {
+    assert(body("""<math><mi><span>x</span></mi></math>""") ==
+      """<math><mi><span>x</span></mi></math>""")
+    assert(body("""<math definitionurl="u"><mglyph/></math>""") ==
+      """<math definitionURL="u"><mglyph></mglyph></math>""")
+  }
+
+  test("foreign end tags match case-insensitively against adjusted names") {
+    assert(body("""<svg><foreignobject></FOREIGNOBJECT><rect/></svg>""") ==
+      """<svg><foreignObject></foreignObject><rect></rect></svg>""")
+  }
+
+  test("selectors: original case matches foreign names, lowered does not") {
+    val d = Doc.parse("""<svg viewbox="0 0 1 1"><foreignobject><div id="in">x</div></foreignobject></svg>""")
+    assert(d.select("foreignObject").length == 1)
+    assert(d.select("foreignobject").length == 0) // reference: exact local-name compare
+    assert(d.select("svg foreignObject #in").length == 1)
+    assert(d.select("svg").attr("viewBox").contains("0 0 1 1"))
+  }
+
+  test("xlink attributes keep their qualified names") {
+    assert(body("""<svg><a xlink:href="u">t</a></svg>""") ==
+      """<svg><a xlink:href="u">t</a></svg>""")
+  }
+
+  test("svg inside a table is fostered out, contents intact") {
+    assert(body("""<table><svg><circle/></svg><tr><td>x</td></tr></table>""") ==
+      """<svg><circle></circle></svg><table><tbody><tr><td>x</td></tr></tbody></table>""")
+  }
+}
