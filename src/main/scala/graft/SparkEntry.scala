@@ -1029,12 +1029,15 @@ object SparkEntry {
             SELECT query_id, neighbor_id, cast(rank as bigint) AS rank
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
       "q_ann_lsh" -> {
-        // exact mirror of Similarity.lshTopK: 4 tables × 4-bit signatures
-        // (plane index j = t*4 + b, bit value 1<<b), bucket union, cosine
-        // re-rank — deterministic, so fully oracle-gated
-        def tableBucket(t: Int) = {
-          val bits = (0 until 4).map { b =>
-            val j = t * 4 + b
+        // exact mirror of Similarity.lshTopK: LshTables × LshBits-bit
+        // signatures (plane index j = t*bits + b, bit value 1<<b), sorted
+        // per-bucket id cap, 1-bit-flip multi-probe on the query side,
+        // cosine re-rank — deterministic, so fully oracle-gated
+        val nT = Similarity.LshTables
+        val nB = Similarity.LshBits
+        def tableBits(t: Int) =
+          (0 until nB).map { b =>
+            val j = t * nB + b
             s"""CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
                   list_transform(list_zip(embedding,
                     [((($j * 64 + d) * 2654435761) % 1000003) / 1000003.0 - 0.5
@@ -1043,13 +1046,22 @@ object SparkEntry {
                   (acc, v) -> acc + v) >= 0.0
                 THEN ${1L << b}::BIGINT ELSE 0::BIGINT END"""
           }.mkString(" + ")
-          s"concat_ws(':', $t, $bits)"
-        }
-        val buckets = (0 until 4).map(tableBucket).mkString(", ")
-        s"""WITH sig AS (SELECT vec_id, unnest([$buckets]) AS bucket FROM embeddings),
-            cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-                     FROM sig q JOIN sig c USING (bucket)
-                     WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+        val bitsCase = (0 until nT).map(t => s"WHEN $t THEN ${tableBits(t)}")
+          .mkString("CASE tbl ", " ", " END")
+        val probeList = ("bits" +: (0 until nB).map(b => s"xor(bits, ${1L << b})"))
+          .mkString("[", ", ", "]")
+        s"""WITH sig AS (SELECT vec_id, tbl, $bitsCase AS bits
+                         FROM embeddings, range(0, $nT) t(tbl)),
+            bucketed AS (SELECT tbl, bits,
+                                list_slice(list_sort(list(vec_id)), 1,
+                                           ${Similarity.LshBucketCap}) AS ids
+                         FROM sig GROUP BY tbl, bits),
+            corpus_side AS (SELECT tbl, bits, unnest(ids) AS neighbor_id FROM bucketed),
+            probes AS (SELECT vec_id AS query_id, tbl, unnest($probeList) AS bits
+                       FROM sig WHERE vec_id < 20),
+            cand AS (SELECT DISTINCT query_id, neighbor_id
+                     FROM probes JOIN corpus_side USING (tbl, bits)
+                     WHERE query_id <> neighbor_id),
             scored AS (SELECT query_id, neighbor_id,
                               ${dCosine("qe.embedding", "ce.embedding")} AS cos
                        FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id

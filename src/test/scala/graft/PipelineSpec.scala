@@ -66,7 +66,7 @@ class PipelineSpec extends AnyFunSuite {
     val approx = Similarity.lshTopK(emb, nQueries = 20, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
-    assert(recall >= 0.2, s"LSH recall@5 too low: $recall")
+    assert(recall >= 0.8, s"LSH recall@5 too low: $recall") // multiprobe 8x3 bar
   }
 
   test("IVF ANN recall@5 vs brute force is usable (approximate by design)") {
