@@ -973,8 +973,17 @@ object SparkEntry {
       "q_dedup_ngram_jaccard" ->
         s"""WITH $dCorpus, $dShinglePrep,
             inv AS (SELECT doc_id, shingles, unnest(shingles) AS s FROM sh),
-            rare AS (SELECT s FROM inv GROUP BY s HAVING count(*) <= 1000),
-            invr AS (SELECT inv.* FROM inv JOIN rare USING (s)),
+            dfreq AS (SELECT s, count(*) AS df FROM inv GROUP BY s),
+            invd AS (SELECT inv.doc_id, inv.shingles, inv.s, dfreq.df
+                     FROM inv JOIN dfreq USING (s)),
+            rare AS (SELECT doc_id, shingles, s FROM invd WHERE df <= 1000),
+            fb AS (SELECT doc_id, shingles, s FROM (
+                     SELECT *, row_number() OVER
+                       (PARTITION BY doc_id ORDER BY df ASC, s ASC) AS rn
+                     FROM invd
+                     WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM rare)) z
+                   WHERE rn = 1),
+            invr AS (SELECT * FROM rare UNION ALL SELECT * FROM fb),
             cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                             a.shingles AS sh_a, b.shingles AS sh_b
                      FROM invr a JOIN invr b ON a.s = b.s AND a.doc_id < b.doc_id)

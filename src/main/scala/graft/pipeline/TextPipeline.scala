@@ -191,10 +191,21 @@ object TextPipeline {
     val inv = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
     // df per shingle (shingle arrays are distinct per doc, so count = docs);
     // tiny fixed-width rows, one extra shuffle keyed like the index join
-    val rare = inv.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShingleDf)
-      .select("sh")
-    val invRare = inv.join(rare, Seq("sh"))
+    val dfreq = inv.groupBy("sh").agg(count(lit(1)).as("df"))
+    val invDf = inv.join(dfreq, Seq("sh"))
+    val rareRows = invDf.filter(col("df") <= maxShingleDf)
+    // ADVICE r2: a dup cluster larger than the cap has NO sub-cap shingle —
+    // without a fallback exactly the largest clusters silently vanish. Such
+    // docs index their rarest shingle (df ASC, sh ASC — deterministic)
+    // regardless of df; cluster members share their rarest shingle, so the
+    // cluster still pairs. Doc-keyed anti-join + window: bounded per doc.
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("df").asc, col("sh").asc)
+    val fallback = invDf
+      .join(rareRows.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .withColumn("rn", row_number().over(wDoc)).filter(col("rn") === 1)
+      .select("doc_id", "sh")
+    val invRare = rareRows.select("doc_id", "sh").unionByName(fallback)
     // inverted-index join on (doc_id, shingle) rows only; the shingle-array
     // payloads rejoin after the id-pair distinct
     val candIds = invRare.as("a").join(invRare.as("b"),

@@ -110,6 +110,21 @@ class PipelineSpec extends AnyFunSuite {
     assert((0L until 500L by 20L).forall(groups.contains))
   }
 
+  test("ngram-jaccard df-cap fallback still pairs clusters larger than the cap") {
+    import spark.implicits._
+    // 6 identical docs (every shingle df=6) + 2 unrelated docs; cap=4 means
+    // the cluster has NO sub-cap shingle — the rarest-shingle fallback must
+    // still index it, or the largest dup cluster silently disappears
+    val clusterText = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = ((0L until 6L).map(i => (i, clusterText)) ++
+      Seq((10L, "one two three four five six seven"),
+          (11L, "eight nine ten eleven twelve thirteen fourteen"))).toDF("doc_id", "text")
+    val pairs = TextPipeline.ngramJaccardPairs(docs, minJ = 0.6, maxShingleDf = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for (a <- 0L until 6L; b <- (a + 1) until 6L) yield (a, b)).toSet
+    assert(pairs == expected, s"got $pairs")
+  }
+
   test("minhash-LSH finds the constructed near-dups (high-jaccard prefix copies)") {
     val pairs = TextPipeline.minhashPairs(
       TextPipeline.withSyntheticDups(TextPipeline.documents(spark, sf)), 0.6)
