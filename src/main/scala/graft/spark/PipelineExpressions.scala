@@ -1,35 +1,33 @@
 package graft.spark
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /**
  * Native expressions for the training-data pipeline hot paths. These compute
  * EXACTLY the values of the documented SQL-HOF forms in
  * [[graft.pipeline.TextPipeline]] (asserted by PipelineSpec's differential),
  * so the DuckDB oracles are unchanged — only the per-row cost drops.
+ *
+ * Each expression implements `doGenCode` (VERDICT r2 ask #7): the kernel
+ * lives in [[PipelineExprOps]] as a static call shared by the interpreted
+ * eval and the generated code, so a projection containing these stays inside
+ * ONE WholeStageCodegen bracket instead of falling back to interpreted
+ * `CodegenFallback` rows around every call.
  */
-
-/** `minhash_sig(shingles)` ≡ `TextPipeline.minhashSigSql`: the 16-hash
-  * MinHash signature, sig(i) = min over shingles of (h*(2i+3)+5i+7) % P.
-  * The HOF form runs 16 interpreted `transform`+`array_min` passes and
-  * allocates 16 intermediate arrays per row; this is one pass, zero
-  * allocation beyond the result. */
-case class MinhashSig(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+object PipelineExprOps {
   private final val P = graft.pipeline.TextPipeline.P
   private final val K = 16
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = true)
-  override def nullable: Boolean = true
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** One-pass 16-hash MinHash signature; empty input → 16 nulls (like
+    * `array_min([])`). */
+  def minhashSig(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val out = new Array[Any](K)
-    if (n == 0) return new GenericArrayData(out) // nulls, like array_min([])
+    if (n == 0) return new GenericArrayData(out)
     val mins = Array.fill(K)(Long.MaxValue)
     var j = 0
     while (j < n) {
@@ -47,23 +45,9 @@ case class MinhashSig(child: Expression)
     new GenericArrayData(out)
   }
 
-  override def prettyName: String = "minhash_sig"
-  override protected def withNewChildInternal(c: Expression): MinhashSig =
-    copy(child = c)
-}
-
-/** `simhash_bits(token_hashes)` ≡ `TextPipeline.simhashSql`: 32-bit SimHash,
-  * bit b set iff ≥ half the token hashes have bit b set (empty input sets
-  * every bit, matching the HOF's 0 >= 0 comparison). One pass instead of
-  * 32 interpreted `filter` scans. Token hashes are non-negative (mod P), so
-  * the HOF's integer `div` equals the unsigned shift used here. */
-case class SimhashBits(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  override def nullable: Boolean = true
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** One-pass 32-bit SimHash; bit b set iff ≥ half the token hashes have
+    * bit b set (empty input sets every bit, matching the HOF's 0 >= 0). */
+  def simhashBits(arr: ArrayData): Long = {
     val n = arr.numElements()
     val counts = new Array[Int](32)
     var j = 0
@@ -85,30 +69,14 @@ case class SimhashBits(child: Expression)
     sim
   }
 
-  override def prettyName: String = "simhash_bits"
-  override protected def withNewChildInternal(c: Expression): SimhashBits =
-    copy(child = c)
-}
-
-/** `norm_fingerprint(text)` ≡ `TextPipeline.fingerprintSql`: the char fold
-  * (acc*31 + codepoint) % P over `regexp_replace(trim(text), '\\s+', ' ')`,
-  * computed in one streaming pass — the HOF form materializes a one-char
-  * string per character. Normalization replicated exactly: Spark `trim`
-  * strips 0x20 only; Java regex `\s` is [ \t\n\f\r]; whitespace runs
-  * collapse to a single space (codepoint 32), including leading/trailing
-  * runs of non-space whitespace that survive trim. */
-case class NormFingerprint(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  private final val P = graft.pipeline.TextPipeline.P
-
-  override def dataType: DataType = LongType
-  override def nullable: Boolean = true
-
   private def isJavaS(cp: Int): Boolean =
     cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
 
-  override def nullSafeEval(input: Any): Any = {
-    val s0 = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+  /** Streaming (acc*31 + codepoint) % P fold over
+    * `regexp_replace(trim(text), '\s+', ' ')` — Spark `trim` strips 0x20
+    * only; Java regex `\s` is [ \t\n\x0B\f\r]; runs collapse to one 0x20. */
+  def normFingerprint(s: UTF8String): Long = {
+    val s0 = s.toString
     var start = 0
     var end = s0.length
     while (start < end && s0.charAt(start) == ' ') start += 1
@@ -128,6 +96,59 @@ case class NormFingerprint(child: Expression)
     if (pendingSpace) acc = (acc * 31 + 32) % P
     acc
   }
+}
+
+/** `minhash_sig(shingles)` ≡ `TextPipeline.minhashSigSql`: the 16-hash
+  * MinHash signature, sig(i) = min over shingles of (h*(2i+3)+5i+7) % P.
+  * The HOF form runs 16 interpreted `transform`+`array_min` passes and
+  * allocates 16 intermediate arrays per row; this is one pass, zero
+  * allocation beyond the result. */
+case class MinhashSig(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    PipelineExprOps.minhashSig(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.PipelineExprOps.minhashSig($c)")
+
+  override def prettyName: String = "minhash_sig"
+  override protected def withNewChildInternal(c: Expression): MinhashSig =
+    copy(child = c)
+}
+
+/** `simhash_bits(token_hashes)` ≡ `TextPipeline.simhashSql`: 32-bit SimHash
+  * in one pass instead of 32 interpreted `filter` scans. Token hashes are
+  * non-negative (mod P), so the HOF's integer `div` equals the unsigned
+  * shift used here. */
+case class SimhashBits(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    PipelineExprOps.simhashBits(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.PipelineExprOps.simhashBits($c)")
+
+  override def prettyName: String = "simhash_bits"
+  override protected def withNewChildInternal(c: Expression): SimhashBits =
+    copy(child = c)
+}
+
+/** `norm_fingerprint(text)` ≡ `TextPipeline.fingerprintSql`: the char fold
+  * over the whitespace-normalized text in one streaming pass — the HOF form
+  * materializes a one-char string per character. */
+case class NormFingerprint(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    PipelineExprOps.normFingerprint(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.PipelineExprOps.normFingerprint($c)")
 
   override def prettyName: String = "norm_fingerprint"
   override protected def withNewChildInternal(c: Expression): NormFingerprint =
