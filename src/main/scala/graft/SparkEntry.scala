@@ -348,6 +348,40 @@ object SparkEntry {
             .as("last_word"))
         .orderBy("doc_id")),
 
+    // Q2: select_single / css_select_first — first match id + miss → null
+    "q_dom_select_first" -> ((s, dir) =>
+      parts(s, dir)
+        .select(col("doc_id"),
+          F.dom_text(col("nodes"),
+            array(F.css_select_first(col("nodes"), "ul.words li"))).as("first_li"),
+          (F.css_select_first(col("nodes"), "li.zzz") < 0).as("miss_null"))
+        .orderBy("doc_id")),
+
+    // Q10: first/last/get over a selection = O(1) id-array slices (empty
+    // slice → '' like the reference's empty-selection text())
+    "q_dom_first_last_get" -> ((s, dir) =>
+      parts(s, dir)
+        .withColumn("sel", F.css_select(col("nodes"), "ul.words li"))
+        .select(col("doc_id"),
+          F.dom_text(col("nodes"), slice(col("sel"), 1, 1)).as("first_w"),
+          F.dom_text(col("nodes"), slice(col("sel"), -1, 1)).as("last_w"),
+          F.dom_text(col("nodes"), expr("slice(sel, 3, 1)")).as("third_w"))
+        .orderBy("doc_id")),
+
+    // X10 subtree has-text at a non-leaf + X14/:only-text structural counts
+    "q_dom_has_text_only" -> ((s, dir) =>
+      parts(s, dir)
+        .select(col("doc_id"),
+          size(F.css_select(col("nodes"), "#main:has-text('size ')")).cast("long")
+            .as("n_main_sz"),
+          size(F.css_select(col("nodes"), "div:has-text('no-such-zz')")).cast("long")
+            .as("n_miss"),
+          size(F.css_select(col("nodes"), "ul.words li:only-text")).cast("long")
+            .as("n_li_only"),
+          size(F.css_select(col("nodes"), "#main > :only-text")).cast("long")
+            .as("n_main_only"))
+        .orderBy("doc_id")),
+
     // flagship link extraction (P10 :has + Q3 chains + X1/X6)
     "q_links" -> ((s, dir) => qLinks(s, dir)),
 
@@ -745,6 +779,24 @@ object SparkEntry {
             'p' AS next_name,
             cast(5 as bigint) AS li_depth,
             string_split(p_name, ' ')[$W] AS last_word
+            FROM part ORDER BY doc_id""",
+      "q_dom_select_first" ->
+        """SELECT cast(p_partkey as varchar) AS doc_id,
+           string_split(p_name, ' ')[1] AS first_li,
+           true AS miss_null
+           FROM part ORDER BY doc_id""",
+      "q_dom_first_last_get" ->
+        s"""SELECT cast(p_partkey as varchar) AS doc_id,
+            string_split(p_name, ' ')[1] AS first_w,
+            string_split(p_name, ' ')[$W] AS last_w,
+            CASE WHEN $W >= 3 THEN string_split(p_name, ' ')[3] ELSE '' END AS third_w
+            FROM part ORDER BY doc_id""",
+      "q_dom_has_text_only" ->
+        s"""SELECT cast(p_partkey as varchar) AS doc_id,
+            cast(1 as bigint) AS n_main_sz,
+            cast(0 as bigint) AS n_miss,
+            cast($W as bigint) AS n_li_only,
+            cast(2 as bigint) AS n_main_only
             FROM part ORDER BY doc_id""",
       "q_events_windowed" ->
         """SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d') AS day,
