@@ -7,16 +7,63 @@ import graft.crawl.Frontier
 /**
  * Benchmark main (driver contract): one JSON line on stdout.
  *
- * Two measurements:
+ * Measurements:
  *  1. headline engine queries at `SPARK_GRAFT_CPUS` (default 32) — each
  *     forced through the `noop` sink so column pruning can't skip the work
  *  2. the BASELINE.json north metric: frontier throughput (URLs
- *     scheduled+deduped/sec) on a synthetic frontier, at local[8] and
- *     local[32] on the SAME input → throughput at both + scaling efficiency
- *     (= speedup/4; the sandbox stand-in for N vs 4N executors per the task
- *     instructions; target ≥ 0.8).
+ *     scheduled+deduped/sec) on a synthetic frontier at local[2]/[8]/[32]
+ *     on the SAME input → throughput at each + scaling efficiency
+ *     (sandbox stand-in for N vs 4N executors; target ≥ 0.8)
+ *  3. selection-only µs/page vs the reference's 36.6 µs microbench
+ *
+ * Host-noise integrity (VERDICT r2 asks #1/#9): a fixed single-threaded
+ * CPU calibration loop runs immediately before every timed sample and is
+ * emitted next to it, so congestion is measured per-run, not asserted. The
+ * quiet-window protocol is bounded and calibration-conditioned ONLY (never
+ * re-rolls on a bad-looking result): each N runs 3 interleaved passes
+ * unconditionally, then up to `MaxExtraPasses` more only while NO pass of
+ * that N has yet run at calib ≥ QuietFrac × the run's best calibration;
+ * the reported per-N time is the min over quiet passes (falling back to
+ * the overall min, flagged in `quiet_fallback`, if none qualified). All
+ * raw (time, calib) samples are printed.
  */
 object Bench {
+
+  private val QuietFrac = 0.85
+  private val MaxExtraPasses = 3 // total across all Ns, bounds worst-case wall
+
+  /** Fixed MULTI-threaded spin: `threads` × xorshift64 for ~200 ms →
+    * total Mops/s. Purely CPU-bound, no allocation — measures how much
+    * aggregate CPU this process is actually getting from the (shared,
+    * oversubscribed) host. Single-thread calibration provably misses
+    * multi-core congestion here: a 32-thread pass ran 64% slower while a
+    * 1-thread probe read 93% of quiet capacity. */
+  private def calibMops(threads: Int): Double = {
+    val ops = new java.util.concurrent.atomic.AtomicLong
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val ts = (1 to threads).map { t =>
+      new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + t
+        var local = 0L
+        while (!stop.get()) {
+          var i = 0
+          while (i < 1000000) {
+            x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+            i += 1
+          }
+          local += 1000000L
+        }
+        if (x == 42L) print("")
+        ops.addAndGet(local)
+      })
+    }
+    val t0 = System.nanoTime()
+    ts.foreach(_.start())
+    Thread.sleep(200)
+    stop.set(true)
+    ts.foreach(_.join())
+    ops.get() / ((System.nanoTime() - t0) / 1e3)
+  }
 
   private def session(cpus: Int): SparkSession = {
     SparkSession.clearActiveSession()
@@ -91,55 +138,67 @@ object Bench {
     // work per stage that 32 threads aren't bound by per-task fixed costs:
     // default 16 → ~9.6M URLs at sf0.1 (~10^10-frontier per-round slice shape)
     val mult = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_MULT", "16").toInt
+    // selection corpus replication: 6k parsed pages × 10 = 60k page-visits
+    // so the per-page number is compute-dominated, not job-fixed-cost
+    // dominated (VERDICT r2: 6k × 28µs ≈ 0.17s inside a multi-second job)
+    val selRep = sys.env.getOrElse("SPARK_GRAFT_SEL_REP", "10").toInt
 
     val headline = Seq(
       "q_links", "q_dom_select_tag", "q_dom_text", "q_dom_mutate_class",
       "q_dom_mutate_validate", "q_dom_formatted_text", "q_crawl_schedule",
       "q_dedup_minhash", "q_text_analysis", "q_ann_topk", "q_ann_lsh",
-      "q_ann_ivf")
+      "q_ann_ivf", "q_embed_neardup")
 
-    // --- scaling evidence: the same stored-input round at N vs 4N threads ---
-    // N=2 vs 4N=8 for the efficiency criterion: this VM's host oversubscribes
-    // vCPUs past ~8 runnable threads (a raw 32-process CPU benchmark tops out
-    // at ~2.6x the 8-process rate), so 8→32 measures the host, not the
-    // engine. local[32] is still run for peak throughput. Min-of-k after
-    // warmup because host capacity also varies minute to minute.
     val benchDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/dev/shm/graft-bench")
     val prep = session(cpus)
     val nUrls = try materializeInputs(prep, sfDir, mult, benchDir) finally prep.stop()
 
-    // interleaved passes: host capacity drifts over minutes, so measuring
-    // each N in one contiguous window biases whichever N hit a bad window —
-    // alternate N across passes and take the per-N minimum
-    def oneRun(n: Int, warm: Boolean): Double = {
+    // --- scaling evidence: the same stored-input round at N vs 4N threads ---
+    // N=2 vs 4N=8 for the efficiency criterion: this VM's host oversubscribes
+    // vCPUs past ~8 runnable threads (calib series below shows it per-run),
+    // so 2→8 is the engine-scaling pair; local[32] still runs for peak.
+    // Interleaved passes: host capacity drifts over minutes, so measuring
+    // each N in one contiguous window biases whichever N hit a bad window.
+    def oneRun(n: Int, warm: Boolean): (Double, Double) = {
+      val calib = calibMops(cpus)
       val s = session(n)
       try {
         if (warm) frontierRun(s, benchDir) // JIT warmup (JVM-wide, pass 1 only)
-        frontierRun(s, benchDir)
+        (frontierRun(s, benchDir), calib)
       } finally {
         s.stop()
         System.gc() // don't hand the next session a dirty heap
       }
     }
-    // FIXED number of interleaved passes, run unconditionally (no
-    // favorable-looking re-rolls); every pass is reported so the per-N
-    // minimum is auditable against the raw samples
     val ns = Seq(2, 8, 32)
-    val passes = scala.collection.mutable.Map[Int, Vector[Double]]().withDefaultValue(Vector())
+    val passes = scala.collection.mutable.Map[Int, Vector[(Double, Double)]]()
+      .withDefaultValue(Vector())
     for (pass <- 1 to 3; n <- ns) {
-      val t = oneRun(n, warm = pass == 1 && n == ns.head)
-      passes(n) = passes(n) :+ t
+      passes(n) = passes(n) :+ oneRun(n, warm = pass == 1 && n == ns.head)
     }
-    val best = ns.map(n => n -> passes(n).min).toMap
-    val (secs2, secs8, secs32) = (best(2), best(8), best(32))
+    // quiet-window extension: bounded, conditioned on calibration only
+    def bestCalib: Double = passes.values.flatten.map(_._2).max
+    var extraLeft = MaxExtraPasses
+    for (n <- ns) {
+      while (extraLeft > 0 && !passes(n).exists(_._2 >= QuietFrac * bestCalib)) {
+        passes(n) = passes(n) :+ oneRun(n, warm = false)
+        extraLeft -= 1
+      }
+    }
+    def quietMin(n: Int): (Double, Boolean) = {
+      val quiet = passes(n).filter(_._2 >= QuietFrac * bestCalib)
+      if (quiet.nonEmpty) (quiet.map(_._1).min, false)
+      else (passes(n).map(_._1).min, true)
+    }
+    val mins = ns.map(n => n -> quietMin(n)).toMap
+    val (secs2, secs8, secs32) = (mins(2)._1, mins(8)._1, mins(32)._1)
+    val quietFallback = ns.filter(n => mins(n)._2)
     val (thr2, thr8, thr32) = (nUrls / secs2, nUrls / secs8, nUrls / secs32)
     val eff28 = (thr8 / thr2) / 4.0
     val eff832 = (thr32 / thr8) / 4.0
 
     // --- multi-round crawl: per-round wall should stay FLAT as seen grows ---
-    // (incremental bloom: per-round cost ∝ round size, not seen size); each
-    // round deduplicates, seen-filters, schedules, discovers one new URL per
-    // scheduled, and commits an atomic snapshot
+    // (incremental bloom: per-round cost ∝ round size, not seen size)
     val crawlRoundMs: Seq[Long] = {
       val sC = session(cpus)
       try {
@@ -158,16 +217,25 @@ object Bench {
     // --- selection-only throughput on STORED parsed pages -------------------
     // apples-to-apples with the reference's headline bench (36.6 µs/query on
     // a pre-parsed hacker_news page, BASELINE.md): multi-story pages parsed
-    // once and stored; timed run = css_select(:has chain) + chained
-    // sub-selects + batched attr/text extraction per page.
+    // once, replicated ×selRep, stored; timed run = css_select(:has chain) +
+    // chained sub-selects + batched attr/text extraction per page.
     val s = session(cpus)
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     var selUsPerDoc = -1.0
+    var selDecodeUsPerDoc = -1.0
     var selDocs = 0L
+    var selCalib = -1.0
     try {
       graft.spark.GraftFunctions.register(s)
       val stored = s"$benchDir/hnbig"
       graft.spark.SynthDocs.hnBigDocs(s, sfDir).select("doc_id", "nodes")
+        .withColumn("rep", explode(expr(s"sequence(0, ${selRep - 1})")))
+        .select(concat(col("doc_id"), lit("-"), col("rep")).as("doc_id"), col("nodes"))
+        // explicit count AFTER the explode: AQE sizes the pre-explode
+        // exchange (small rows) and would coalesce to ~10 giant files →
+        // ~10 giant tasks whose humongous-allocation GC churn swamps the
+        // measurement (observed 6-17× wall swings at flat CPU calibration)
+        .repartition(2 * cpus)
         .write.mode("overwrite").parquet(stored)
       val docs = s.read.parquet(stored)
       selDocs = docs.count()
@@ -179,12 +247,21 @@ object Bench {
           F.dom_attr_each(col("nodes"), col("title_a"), "href").as("hrefs"),
           F.dom_text_each(col("nodes"), col("title_a")).as("titles"))
       selJob().write.format("noop").mode("overwrite").save() // warmup
+      selCalib = calibMops(cpus)
       val selSecs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         selJob().write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }.min
       selUsPerDoc = selSecs * 1e6 / selDocs
+      // decode-only baseline: the parquet nested-array decode floor under
+      // the same scan — reported so the reader can see how much of the
+      // per-page number is storage decode vs selector-engine compute (the
+      // reference's 36.6 µs is select-only on a pre-parsed in-memory page)
+      val t0 = System.nanoTime()
+      docs.select(col("doc_id"), size(col("nodes")).as("n"))
+        .write.format("noop").mode("overwrite").save()
+      selDecodeUsPerDoc = (System.nanoTime() - t0) / 1e9 * 1e6 / selDocs
     } catch { case _: Throwable => }
 
     // --- headline queries at the contract parallelism -----------------------
@@ -200,12 +277,31 @@ object Bench {
       }
     })
     val shuffleMb = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val headlineCalibs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // per-query quiet wait: before each query, recalibrate; while the host
+    // is below QuietFrac of the best calibration seen this run, sleep and
+    // retry — bounded by a shared wait budget, conditioned ONLY on the
+    // calibration (never on a query's measured time)
+    var calibBest = 0.0
+    var waitBudget = 20 // × 2 s max total across the block
+    def quietCalib(): Double = {
+      var c = calibMops(cpus)
+      calibBest = math.max(calibBest, c)
+      while (c < QuietFrac * calibBest && waitBudget > 0) {
+        waitBudget -= 1
+        Thread.sleep(2000)
+        c = calibMops(cpus)
+        calibBest = math.max(calibBest, c)
+      }
+      c
+    }
     try {
       SparkEntry.queries.filter(q => headline.contains(q._1)).foreach { case (name, fn) =>
         try {
           fn(s, sfDir).write.format("noop").mode("overwrite").save() // warmup
-          results(name) = (1 to 2).map { i =>
-            if (i == 2) { Thread.sleep(200); shuffleWrite.set(0L) } // tally last run only
+          headlineCalibs(name) = quietCalib()
+          results(name) = (1 to 3).map { i =>
+            if (i == 3) { Thread.sleep(200); shuffleWrite.set(0L) } // tally last run only
             val t0 = System.nanoTime()
             fn(s, sfDir).write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9
@@ -216,9 +312,9 @@ object Bench {
       }
     } finally { s.stop() }
 
-    // ANN recall@5 vs the exact brute-force ranking — reported per round so
-    // approximate-path quality is tracked alongside wall time
-    val (recallLsh, recallIvf) = {
+    // ANN recall@5 vs the exact brute-force ranking + the LSH bucket-cap
+    // audit metric (max observed bucket vs the deterministic cap)
+    val (recallLsh, recallIvf, lshMaxBucket) = {
       val sR = session(cpus)
       try {
         import graft.pipeline.Similarity
@@ -229,16 +325,20 @@ object Bench {
         val lsh = pairs(Similarity.lshTopK(emb, 20, 5))
         val ivf = pairs(Similarity.ivfTopK(emb, 20, 5))
         (exact.intersect(lsh).size.toDouble / exact.size,
-          exact.intersect(ivf).size.toDouble / exact.size)
-      } catch { case _: Throwable => (-1.0, -1.0) } finally { sR.stop() }
+          exact.intersect(ivf).size.toDouble / exact.size,
+          Similarity.lshMaxBucket(emb))
+      } catch { case _: Throwable => (-1.0, -1.0, -1L) } finally { sR.stop() }
     }
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val qc = headlineCalibs.map { case (k, v) => "\"" + k + f"\":$v%.0f" }.mkString("{", ",", "}")
     val sh = shuffleMb.map { case (k, v) => "\"" + k + f"\":$v%.1f" }.mkString("{", ",", "}")
-    def passArr(n: Int) = passes(n).map(t => f"$t%.2f").mkString("[", ",", "]")
+    def passArr(n: Int) = passes(n).map(p => f"${p._1}%.2f").mkString("[", ",", "]")
+    def calibArr(n: Int) = passes(n).map(p => f"${p._2}%.0f").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
     val crawlMs = crawlRoundMs.mkString("[", ",", "]")
+    val qfb = quietFallback.mkString("[", ",", "]")
     println(
-      f"""{"metric":"frontier throughput (URLs scheduled+deduped/sec)","value":$thr32%.0f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","headline_total_sec":$total%.3f,"shuffle_write_mb":$sh,"frontier_urls":$nUrls,"thr_local2":$thr2%.0f,"thr_local8":$thr8%.0f,"thr_local32":$thr32%.0f,"passes_local2":${passArr(2)},"passes_local8":${passArr(8)},"passes_local32":${passArr(32)},"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"crawl_round_ms":$crawlMs,"ann_recall5_lsh":$recallLsh%.3f,"ann_recall5_ivf":$recallIvf%.3f,"selection_us_per_page":$selUsPerDoc%.1f,"selection_pages":$selDocs,"reference_selection_us":36.6,"scaling_note":"3 interleaved passes per N, per-N min reported with all samples; host vCPU oversubscription caps raw 8-to-32 CPU scaling at ~2.6x, so 2-to-8 is the engine-scaling pair and 8-to-32 carries the congestion caveat; crawl_round_ms = per-round compute wall over 4 discovery rounds (seen grows each round, incremental bloom keeps cost flat)"}""")
+      f"""{"metric":"frontier throughput (URLs scheduled+deduped/sec)","value":$thr32%.0f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","headline_total_sec":$total%.3f,"shuffle_write_mb":$sh,"frontier_urls":$nUrls,"thr_local2":$thr2%.0f,"thr_local8":$thr8%.0f,"thr_local32":$thr32%.0f,"passes_local2":${passArr(2)},"passes_local8":${passArr(8)},"passes_local32":${passArr(32)},"calib_mops_local2":${calibArr(2)},"calib_mops_local8":${calibArr(8)},"calib_mops_local32":${calibArr(32)},"quiet_frac":$QuietFrac,"quiet_fallback":$qfb,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"crawl_round_ms":$crawlMs,"ann_recall5_lsh":$recallLsh%.3f,"ann_recall5_ivf":$recallIvf%.3f,"lsh_max_bucket":$lshMaxBucket,"lsh_bucket_cap":${graft.pipeline.Similarity.LshBucketCap},"selection_us_per_page":$selUsPerDoc%.1f,"selection_decode_us_per_page":$selDecodeUsPerDoc%.1f,"selection_pages":$selDocs,"selection_calib_mops":$selCalib%.0f,"headline_calib_mops":$qc,"reference_selection_us":36.6,"scaling_note":"3 interleaved passes per N + up to $MaxExtraPasses calibration-gated extras (never result-conditioned); per-N time = min over passes whose pre-pass $cpus-thread aggregate calibration >= $QuietFrac of the run's best (quiet_fallback lists Ns where no pass qualified); host vCPU oversubscription caps raw 8-to-32 scaling, so 2-to-8 is the engine-scaling pair; crawl_round_ms = per-round compute wall over 4 discovery rounds (seen grows, incremental bloom keeps cost flat); headline queries: bounded calibration-gated quiet-wait before each query (headline_calib_mops per query), then min of 3 timed runs"}""")
   }
 }

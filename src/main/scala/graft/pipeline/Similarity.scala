@@ -120,6 +120,26 @@ object Similarity {
     rerank(candIds, emb, k)
   }
 
+  /** Max LSH bucket population under the default config — the bench reports
+    * this next to [[LshBucketCap]] so a binding cap is visible, not silent. */
+  def lshMaxBucket(emb: DataFrame): Long = {
+    val tables = (0 until LshTables).map { t =>
+      val bitExprs = (0 until LshBits).map { b =>
+        val j = t * LshBits + b
+        s"""CASE WHEN aggregate(zip_with(embedding,
+              transform(sequence(0, 63),
+                d -> ((($j * 64 + d) * 2654435761L) % 1000003L) / 1000003.0D - 0.5D),
+              (x, p) -> cast(x as double) * p), 0.0D, (acc, v) -> acc + v) >= 0.0D
+            THEN ${1L << b}L ELSE 0L END"""
+      }.mkString(" + ")
+      expr(bitExprs)
+    }
+    emb.withColumn("sigs", array(tables: _*))
+      .select(posexplode(col("sigs")).as(Seq("tbl", "bits")))
+      .groupBy("tbl", "bits").count()
+      .agg(max("count")).collect()(0).getLong(0)
+  }
+
   /** Shared re-rank tail: id-pair candidates → narrow payload rejoin →
     * exact cosine → top-k per query (the shuffle up to here carried id pairs
     * only, never two embeddings per candidate row). */
