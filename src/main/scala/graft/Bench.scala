@@ -29,8 +29,26 @@ import graft.crawl.Frontier
  */
 object Bench {
 
-  private val QuietFrac = 0.85
-  private val MaxExtraPasses = 3 // total across all Ns, bounds worst-case wall
+  private val QuietFrac = 0.9
+  private val BwQuietFrac = 0.85
+  private val MaxExtraPasses = 4 // total across all Ns, bounds worst-case wall
+
+  /** Sequential big-array read bandwidth (MB/s), single thread. CPU spin
+    * calibration misses MEMORY contention: a parquet-decode stage ran 3×
+    * slower while the 32-thread spin read 95% of quiet capacity — nested
+    * column assembly is bandwidth-bound, so the selection gate checks both. */
+  private val bwArr = new Array[Long](32 << 20) // 256 MB, allocated once
+  private def memBwMBs(): Double = {
+    var acc = 0L
+    val t0 = System.nanoTime()
+    var i = 0
+    val n = bwArr.length
+    while (i < n) { acc += bwArr(i); i += 8 } // stride 64 B = one cache line
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (acc == 42L) print("")
+    // bytes actually traversed: full array via cache-line strides
+    (n.toLong * 8) / secs / 1e6
+  }
 
   /** Fixed MULTI-threaded spin: `threads` × xorshift64 for ~200 ms →
     * total Mops/s. Purely CPU-bound, no allocation — measures how much
@@ -149,6 +167,57 @@ object Bench {
       "q_dedup_minhash", "q_text_analysis", "q_ann_topk", "q_ann_lsh",
       "q_ann_ivf", "q_embed_neardup")
 
+    // --- single-threaded micro-parity vs the reference Criterion bench ----
+    // (dom-query-bench/README.md: simple 36.6 µs, serial 16.4 µs, find
+    // 7.9 µs on a ~25-story hacker_news page). Same workload shapes, pure
+    // JVM, no Spark — the per-document engine head-to-head. Quiet-gated on
+    // SINGLE-thread calibration (the right proxy for a 1-thread loop),
+    // bounded, result-independent.
+    val (microSelect, microSerial, microFind, microParse, microCalib) = {
+      val rows = (0 until 25).map { i =>
+        s"""<tr class="athing" id="$i"><td class="title"><a href="item?id=$i" id="link-$i" class="storylink">Order $i [P]</a><span class="sitebit"><a href="https://c-$i.example/">c-$i.example</a></span></td></tr><tr><td class="subtext"><span class="score">${i * 7} points</span></td></tr>"""
+      }.mkString
+      val html = s"""<html><head><title>News</title><base href="https://news.example/"></head><body><table class="itemlist">$rows</table></body></html>"""
+      val doc = graft.api.Doc.parse(html)
+      def selectRun(n: Int): Double = {
+        val t0 = System.nanoTime(); var acc = 0
+        (0 until n).foreach { _ =>
+          val athing = doc.select("tr.athing:has(a[href][id])")
+          val links = athing.select(".title a.storylink")
+          acc += links.ids.length + links.attr("href").size
+        }
+        if (acc < 0) print("")
+        (System.nanoTime() - t0) / 1e3 / n
+      }
+      def serialRun(n: Int): Double = {
+        val t0 = System.nanoTime(); var acc = 0
+        (0 until n).foreach(_ => acc +=
+          doc.selectSingle("body").select("td.title").select("a[href]").ids.length)
+        if (acc < 0) print("")
+        (System.nanoTime() - t0) / 1e3 / n
+      }
+      def findRun(n: Int): Double = {
+        val t0 = System.nanoTime(); var acc = 0
+        (0 until n).foreach(_ => acc += doc.find(Seq("body", "td", "a")).ids.length)
+        if (acc < 0) print("")
+        (System.nanoTime() - t0) / 1e3 / n
+      }
+      def parseRun(n: Int): Double = {
+        val t0 = System.nanoTime(); var acc = 0
+        (0 until n).foreach(_ => acc += graft.api.Doc.parse(html).arena.size)
+        if (acc < 0) print("")
+        (System.nanoTime() - t0) / 1e3 / n
+      }
+      selectRun(2000); serialRun(2000); findRun(4000); parseRun(500) // JIT warmup
+      var c1 = calibMops(1)
+      var best1 = c1
+      var waits = 5
+      while (c1 < QuietFrac * best1 && waits > 0) {
+        waits -= 1; Thread.sleep(2000); c1 = calibMops(1); best1 = math.max(best1, c1)
+      }
+      (selectRun(5000), serialRun(5000), findRun(10000), parseRun(1000), c1)
+    }
+
     val benchDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/dev/shm/graft-bench")
     val prep = session(cpus)
     val nUrls = try materializeInputs(prep, sfDir, mult, benchDir) finally prep.stop()
@@ -159,8 +228,10 @@ object Bench {
     // so 2→8 is the engine-scaling pair; local[32] still runs for peak.
     // Interleaved passes: host capacity drifts over minutes, so measuring
     // each N in one contiguous window biases whichever N hit a bad window.
+    var calibBest = 0.0
+    def note(c: Double): Double = { calibBest = math.max(calibBest, c); c }
     def oneRun(n: Int, warm: Boolean): (Double, Double) = {
-      val calib = calibMops(cpus)
+      val calib = note(calibMops(cpus))
       val s = session(n)
       try {
         if (warm) frontierRun(s, benchDir) // JIT warmup (JVM-wide, pass 1 only)
@@ -177,16 +248,15 @@ object Bench {
       passes(n) = passes(n) :+ oneRun(n, warm = pass == 1 && n == ns.head)
     }
     // quiet-window extension: bounded, conditioned on calibration only
-    def bestCalib: Double = passes.values.flatten.map(_._2).max
     var extraLeft = MaxExtraPasses
     for (n <- ns) {
-      while (extraLeft > 0 && !passes(n).exists(_._2 >= QuietFrac * bestCalib)) {
+      while (extraLeft > 0 && !passes(n).exists(_._2 >= QuietFrac * calibBest)) {
         passes(n) = passes(n) :+ oneRun(n, warm = false)
         extraLeft -= 1
       }
     }
     def quietMin(n: Int): (Double, Boolean) = {
-      val quiet = passes(n).filter(_._2 >= QuietFrac * bestCalib)
+      val quiet = passes(n).filter(_._2 >= QuietFrac * calibBest)
       if (quiet.nonEmpty) (quiet.map(_._1).min, false)
       else (passes(n).map(_._1).min, true)
     }
@@ -225,6 +295,7 @@ object Bench {
     var selDecodeUsPerDoc = -1.0
     var selDocs = 0L
     var selCalib = -1.0
+    var selBw = -1.0
     try {
       graft.spark.GraftFunctions.register(s)
       val stored = s"$benchDir/hnbig"
@@ -247,7 +318,19 @@ object Bench {
           F.dom_attr_each(col("nodes"), col("title_a"), "href").as("hrefs"),
           F.dom_text_each(col("nodes"), col("title_a")).as("titles"))
       selJob().write.format("noop").mode("overwrite").save() // warmup
-      selCalib = calibMops(cpus)
+      // quiet-wait on BOTH cpu and memory-bandwidth calibration (bounded,
+      // result-independent); bandwidth best-so-far seeds from this block
+      var bw = memBwMBs()
+      var bwBest = bw
+      selCalib = note(calibMops(cpus))
+      var selWaits = 10
+      while (selWaits > 0 && (selCalib < QuietFrac * calibBest || bw < BwQuietFrac * bwBest)) {
+        selWaits -= 1
+        Thread.sleep(2000)
+        bw = memBwMBs(); bwBest = math.max(bwBest, bw)
+        selCalib = note(calibMops(cpus))
+      }
+      selBw = bw
       val selSecs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         selJob().write.format("noop").mode("overwrite").save()
@@ -279,19 +362,18 @@ object Bench {
     val shuffleMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     val headlineCalibs = scala.collection.mutable.LinkedHashMap[String, Double]()
     // per-query quiet wait: before each query, recalibrate; while the host
-    // is below QuietFrac of the best calibration seen this run, sleep and
+    // is below QuietFrac of the best calibration seen THIS RUN (seeded by
+    // the frontier/selection phases — the first query must not bootstrap
+    // the baseline from its own possibly-congested reading), sleep and
     // retry — bounded by a shared wait budget, conditioned ONLY on the
     // calibration (never on a query's measured time)
-    var calibBest = 0.0
     var waitBudget = 20 // × 2 s max total across the block
     def quietCalib(): Double = {
-      var c = calibMops(cpus)
-      calibBest = math.max(calibBest, c)
+      var c = note(calibMops(cpus))
       while (c < QuietFrac * calibBest && waitBudget > 0) {
         waitBudget -= 1
         Thread.sleep(2000)
-        c = calibMops(cpus)
-        calibBest = math.max(calibBest, c)
+        c = note(calibMops(cpus))
       }
       c
     }
@@ -339,6 +421,6 @@ object Bench {
     val crawlMs = crawlRoundMs.mkString("[", ",", "]")
     val qfb = quietFallback.mkString("[", ",", "]")
     println(
-      f"""{"metric":"frontier throughput (URLs scheduled+deduped/sec)","value":$thr32%.0f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","headline_total_sec":$total%.3f,"shuffle_write_mb":$sh,"frontier_urls":$nUrls,"thr_local2":$thr2%.0f,"thr_local8":$thr8%.0f,"thr_local32":$thr32%.0f,"passes_local2":${passArr(2)},"passes_local8":${passArr(8)},"passes_local32":${passArr(32)},"calib_mops_local2":${calibArr(2)},"calib_mops_local8":${calibArr(8)},"calib_mops_local32":${calibArr(32)},"quiet_frac":$QuietFrac,"quiet_fallback":$qfb,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"crawl_round_ms":$crawlMs,"ann_recall5_lsh":$recallLsh%.3f,"ann_recall5_ivf":$recallIvf%.3f,"lsh_max_bucket":$lshMaxBucket,"lsh_bucket_cap":${graft.pipeline.Similarity.LshBucketCap},"selection_us_per_page":$selUsPerDoc%.1f,"selection_decode_us_per_page":$selDecodeUsPerDoc%.1f,"selection_pages":$selDocs,"selection_calib_mops":$selCalib%.0f,"headline_calib_mops":$qc,"reference_selection_us":36.6,"scaling_note":"3 interleaved passes per N + up to $MaxExtraPasses calibration-gated extras (never result-conditioned); per-N time = min over passes whose pre-pass $cpus-thread aggregate calibration >= $QuietFrac of the run's best (quiet_fallback lists Ns where no pass qualified); host vCPU oversubscription caps raw 8-to-32 scaling, so 2-to-8 is the engine-scaling pair; crawl_round_ms = per-round compute wall over 4 discovery rounds (seen grows, incremental bloom keeps cost flat); headline queries: bounded calibration-gated quiet-wait before each query (headline_calib_mops per query), then min of 3 timed runs"}""")
+      f"""{"metric":"frontier throughput (URLs scheduled+deduped/sec)","value":$thr32%.0f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","headline_total_sec":$total%.3f,"shuffle_write_mb":$sh,"frontier_urls":$nUrls,"thr_local2":$thr2%.0f,"thr_local8":$thr8%.0f,"thr_local32":$thr32%.0f,"passes_local2":${passArr(2)},"passes_local8":${passArr(8)},"passes_local32":${passArr(32)},"calib_mops_local2":${calibArr(2)},"calib_mops_local8":${calibArr(8)},"calib_mops_local32":${calibArr(32)},"quiet_frac":$QuietFrac,"quiet_fallback":$qfb,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"crawl_round_ms":$crawlMs,"ann_recall5_lsh":$recallLsh%.3f,"ann_recall5_ivf":$recallIvf%.3f,"lsh_max_bucket":$lshMaxBucket,"lsh_bucket_cap":${graft.pipeline.Similarity.LshBucketCap},"selection_us_per_page":$selUsPerDoc%.1f,"selection_decode_us_per_page":$selDecodeUsPerDoc%.1f,"selection_pages":$selDocs,"selection_calib_mops":$selCalib%.0f,"selection_membw_mbs":$selBw%.0f,"headline_calib_mops":$qc,"micro_select_us":$microSelect%.1f,"micro_serial_us":$microSerial%.1f,"micro_find_us":$microFind%.1f,"micro_parse_us":$microParse%.1f,"micro_calib_mops":$microCalib%.0f,"reference_micro_us":{"simple":36.6,"serial":16.4,"find":7.9},"reference_selection_us":36.6,"scaling_note":"3 interleaved passes per N + up to $MaxExtraPasses calibration-gated extras (never result-conditioned); per-N time = min over passes whose pre-pass $cpus-thread aggregate calibration >= $QuietFrac of the run's best (quiet_fallback lists Ns where no pass qualified); host vCPU oversubscription caps raw 8-to-32 scaling, so 2-to-8 is the engine-scaling pair; crawl_round_ms = per-round compute wall over 4 discovery rounds (seen grows, incremental bloom keeps cost flat); headline queries: bounded calibration-gated quiet-wait before each query (headline_calib_mops per query), then min of 3 timed runs"}""")
   }
 }
