@@ -11,7 +11,8 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.001"
     val names = Seq("q_links", "q_dedup_minhash", "q_ann_lsh", "q_ann_ivf",
-      "q_crawl_schedule", "q_text_analysis", "q_dom_mutate_validate")
+      "q_crawl_schedule", "q_text_analysis", "q_dom_mutate_validate",
+      "q_embed_neardup", "q_dedup_ngram_jaccard")
     names.foreach { n =>
       println(s"===== $n =====")
       val df = graft.SparkEntry.queries(n)(spark, sf)
