@@ -119,12 +119,22 @@ object HtmlParser {
 
   def tokenize(html: String): List[Tok] = {
     val toks = mutable.ListBuffer[Tok]()
+    tokenizeStreaming(html, () => false)(toks += _)
+    toks.toList
+  }
+
+  /** Streaming tokenizer with tree-builder feedback: tokens are emitted as
+    * produced so `inForeign` can consult the CURRENT open-element stack —
+    * the HTML5 tokenizer/tree-construction coupling that makes
+    * `<![CDATA[...]]>` a text span inside SVG/MathML (adjusted current node
+    * not in the HTML namespace) but a bogus comment in HTML content. */
+  def tokenizeStreaming(html: String, inForeign: () => Boolean)(emit: Tok => Unit): Unit = {
     val n = html.length
     var i = 0
     val text = new java.lang.StringBuilder
 
     def flushText(): Unit =
-      if (text.length > 0) { toks += TText(Entities.decode(text.toString)); text.setLength(0) }
+      if (text.length > 0) { emit(TText(Entities.decode(text.toString))); text.setLength(0) }
 
     def isNameStart(c: Char) = Character.isLetter(c)
 
@@ -143,27 +153,36 @@ object HtmlParser {
             flushText()
             val end = html.indexOf("-->", i + 4)
             val stop = if (end == -1) n else end
-            toks += TComment(html.substring(i + 4, stop))
+            emit(TComment(html.substring(i + 4, stop)))
             i = if (end == -1) n else end + 3
           } else if (html.regionMatches(true, i + 2, "DOCTYPE", 0, 7)) {
             flushText()
             val end = html.indexOf('>', i + 2)
             val stop = if (end == -1) n else end
             val body = html.substring(i + 9, stop).trim
-            toks += parseDoctype(body)
+            emit(parseDoctype(body))
             i = if (end == -1) n else end + 1
+          } else if (html.regionMatches(i + 2, "[CDATA[", 0, 7) && inForeign()) {
+            // CDATA section (foreign content only): raw text to ]]>, no
+            // character references
+            flushText()
+            val end = html.indexOf("]]>", i + 9)
+            val stop = if (end == -1) n else end
+            val content = html.substring(i + 9, stop)
+            if (content.nonEmpty) emit(TText(content))
+            i = if (end == -1) n else end + 3
           } else { // bogus comment
             flushText()
             val end = html.indexOf('>', i + 2)
             val stop = if (end == -1) n else end
-            toks += TComment(html.substring(i + 2, stop))
+            emit(TComment(html.substring(i + 2, stop)))
             i = if (end == -1) n else end + 1
           }
         } else if (c1 == '?') { // bogus comment per HTML5 (reference gets Comment)
           flushText()
           val end = html.indexOf('>', i + 2)
           val stop = if (end == -1) n else end
-          toks += TComment("?" + html.substring(i + 2, stop))
+          emit(TComment("?" + html.substring(i + 2, stop)))
           i = if (end == -1) n else end + 1
         } else if (c1 == '/') {
           if (i + 2 < n && isNameStart(html.charAt(i + 2))) {
@@ -173,8 +192,8 @@ object HtmlParser {
             if (j < n) {
               val raw = html.substring(i + 2, j)
               val name = raw.takeWhile(ch => !Character.isWhitespace(ch)).toLowerCase
-              if (name == "br") toks += TStart("br", Nil, selfClosing = false) // spec: </br> acts as <br>
-              else toks += TEnd(name)
+              if (name == "br") emit(TStart("br", Nil, selfClosing = false)) // spec: </br> acts as <br>
+              else emit(TEnd(name))
               i = j + 1
             } else i = n // eof-in-tag: the token is dropped (html5ever)
           } else { text.append(c); i += 1 }
@@ -183,7 +202,7 @@ object HtmlParser {
           val (tok, next, closed) = parseStartTag(html, i)
           if (!closed) { i = n } // eof-in-tag: drop the token (html5ever fuzz golden)
           else {
-            toks += tok
+            emit(tok)
             i = next
             tok match {
               case TStart(name, _, false) if RawTextElements(name) || RcdataElements(name) =>
@@ -194,10 +213,10 @@ object HtmlParser {
                 val stop = if (rawEnd == -1) n else rawEnd
                 val raw = html.substring(i, stop)
                 val content = if (RcdataElements(name)) Entities.decode(raw) else raw
-                if (content.nonEmpty) toks += TText(content)
+                if (content.nonEmpty) emit(TText(content))
                 if (rawEnd != -1) {
                   val gt = html.indexOf('>', rawEnd)
-                  toks += TEnd(name)
+                  emit(TEnd(name))
                   i = if (gt == -1) n else gt + 1
                 } else i = n
               case _ =>
@@ -207,7 +226,6 @@ object HtmlParser {
       } else { text.append(c); i += 1 }
     }
     flushText()
-    toks.toList
   }
 
   /** Index of `</name` (case-insensitive, followed by ws/>//) at or after
@@ -1213,7 +1231,7 @@ object HtmlParser {
         stack += Open(htmlEl, "#fragment-html")
         quirks = "no-quirks"
       }
-      tokenize(html).foreach(handle)
+      tokenizeStreaming(html, () => stack.nonEmpty && top.ns != "html")(handle)
       // html5ever emits the html/head/body scaffold at EOF even for empty or
       // garbage input (test_html_root: Document::from("") has an html root)
       if (!fragment) ensureBody()

@@ -69,4 +69,16 @@ class SvgSpec extends AnyFunSuite {
     assert(body("""<table><svg><circle/></svg><tr><td>x</td></tr></table>""") ==
       """<svg><circle></circle></svg><table><tbody><tr><td>x</td></tr></tbody></table>""")
   }
+
+  test("CDATA sections: text in foreign content, bogus comment in HTML") {
+    // adjusted current node in SVG ns → CDATA is a raw text span (no
+    // character references, '>' allowed inside)
+    assert(body("""<svg><desc><![CDATA[a < b & c]]></desc></svg>""") ==
+      """<svg><desc>a &lt; b &amp; c</desc></svg>""")
+    assert(body("""<svg><![CDATA[x > y]]></svg>""") ==
+      """<svg>x &gt; y</svg>""")
+    // HTML content → bogus comment ending at the FIRST '>' (html5ever)
+    assert(body("""<div><![CDATA[x]]></div>""") ==
+      """<div><!--[CDATA[x]]--></div>""")
+  }
 }
