@@ -138,17 +138,24 @@ class PropertySpec extends AnyFunSuite {
     val soupTag = Gen.oneOf("div", "p", "b", "i", "a", "table", "tr", "td",
       "ul", "li", "span", "em", "h1", "pre", "select", "option", "template",
       "svg", "br", "img", "script", "title", "form", "dl", "dt", "dd",
-      "caption", "colgroup", "thead", "button", "nobr")
+      "caption", "colgroup", "thead", "button", "nobr",
+      // foreign-content storm: namespaces, integration points, breakouts,
+      // camelCase adjustment + case-insensitive foreign end tags (round 3)
+      "math", "mi", "foreignobject", "desc", "circle", "textpath",
+      "annotation-xml", "mglyph", "font")
     val piece: Gen[String] = Gen.frequency(
       4 -> Gen.oneOf("alpha", "beta", "x", "<", "&", "]]>"),
       5 -> soupTag.map(t => s"<$t>"),
       5 -> soupTag.map(t => s"</$t>"),
       1 -> soupTag.map(t => s"<$t class='c x' id=z>"),
       1 -> Gen.const("<!-- c -->"),
-      1 -> Gen.const("&amp; &bogus; &#65; &lt &#x41;"),
+      1 -> Gen.const("&amp; &bogus; &#65; &lt &#x41; &notit; &Ouml;"),
       1 -> Gen.const("<b><i><u><a href=x>"),
       1 -> Gen.const("</a></i></b></u>"),
       1 -> Gen.const("<!doctype html>"),
+      1 -> Gen.const("<![CDATA[ x < y ]]>"),
+      1 -> Gen.const("<svg viewbox='0 0 1 1'><lineargradient>"),
+      1 -> Gen.const("</FOREIGNOBJECT></SVG>"),
       1 -> Gen.const("<?pi >"))
     for { n <- Gen.choose(1, 60); ps <- Gen.listOfN(n, piece) } yield ps.mkString(" ")
   }
