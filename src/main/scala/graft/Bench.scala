@@ -32,6 +32,9 @@ object Bench {
   private val QuietFrac = 0.9
   private val BwQuietFrac = 0.85
   private val MaxExtraPasses = 4 // total across all Ns, bounds worst-case wall
+  // worst-case wall is budgeted ≤ ~20 min: 2+extras frontier passes, one
+  // bounded wait pool for the headline block, 4 selection passes — the
+  // driver's recorded run must never time out on a congested host
 
   /** Sequential big-array read bandwidth (MB/s), single thread. CPU spin
     * calibration misses MEMORY contention: a parquet-decode stage ran 3×
@@ -260,7 +263,7 @@ object Bench {
     val ns = Seq(2, 8, 32)
     val passes = scala.collection.mutable.Map[Int, Vector[Pass]]()
       .withDefaultValue(Vector())
-    for (pass <- 1 to 3; n <- ns) {
+    for (pass <- 1 to 2; n <- ns) {
       passes(n) = passes(n) :+ oneRun(n, warm = pass == 1 && n == ns.head)
     }
     // quiet-window extension: bounded, conditioned on calibration only
@@ -442,6 +445,6 @@ object Bench {
     val crawlMs = crawlRoundMs.mkString("[", ",", "]")
     val qfb = quietFallback.mkString("[", ",", "]")
     println(
-      f"""{"metric":"frontier throughput (URLs scheduled+deduped/sec)","value":$thr32%.0f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","headline_total_sec":$total%.3f,"shuffle_write_mb":$sh,"frontier_urls":$nUrls,"thr_local2":$thr2%.0f,"thr_local8":$thr8%.0f,"thr_local32":$thr32%.0f,"passes_local2":${passArr(2)},"passes_local8":${passArr(8)},"passes_local32":${passArr(32)},"calib_mops_local2":${calibArr(2)},"calib_mops_local8":${calibArr(8)},"calib_mops_local32":${calibArr(32)},"membw_local2":${bwArrJ(2)},"membw_local8":${bwArrJ(8)},"membw_local32":${bwArrJ(32)},"quiet_frac":$QuietFrac,"quiet_fallback":$qfb,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"crawl_round_ms":$crawlMs,"ann_recall5_lsh":$recallLsh%.3f,"ann_recall5_ivf":$recallIvf%.3f,"lsh_max_bucket":$lshMaxBucket,"lsh_bucket_cap":${graft.pipeline.Similarity.LshBucketCap},"selection_us_per_page":$selUsPerDoc%.1f,"selection_decode_us_per_page":$selDecodeUsPerDoc%.1f,"selection_pages":$selDocs,"selection_calib_mops":$selCalib%.0f,"selection_membw_mbs":$selBw%.0f,"selection_samples":$selSamples,"selection_quiet_fallback":$selQuietFallback,"headline_calib_mops":$qc,"micro_select_us":$microSelect%.1f,"micro_serial_us":$microSerial%.1f,"micro_find_us":$microFind%.1f,"micro_parse_us":$microParse%.1f,"micro_calib_mops":$microCalib%.0f,"reference_micro_us":{"simple":36.6,"serial":16.4,"find":7.9},"reference_selection_us":36.6,"scaling_note":"frontier rounds use the snapshot-persisted URL-seen bloom built OUTSIDE the timed region (the Frontier.crawl production shape); 3 interleaved passes per N + up to $MaxExtraPasses calibration-gated extras (never result-conditioned); per-N time = min over passes whose pre-pass $cpus-thread CPU calibration >= $QuietFrac AND sequential-read bandwidth >= $BwQuietFrac of the run's best (quiet_fallback lists Ns where no pass qualified); host vCPU oversubscription caps raw 8-to-32 scaling, so 2-to-8 is the engine-scaling pair; crawl_round_ms = per-round compute wall over 4 discovery rounds (seen grows, incremental bloom keeps cost flat); headline queries: bounded calibration-gated quiet-wait before each query (headline_calib_mops per query), then min of 3 timed runs"}""")
+      f"""{"metric":"frontier throughput (URLs scheduled+deduped/sec)","value":$thr32%.0f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","headline_total_sec":$total%.3f,"shuffle_write_mb":$sh,"frontier_urls":$nUrls,"thr_local2":$thr2%.0f,"thr_local8":$thr8%.0f,"thr_local32":$thr32%.0f,"passes_local2":${passArr(2)},"passes_local8":${passArr(8)},"passes_local32":${passArr(32)},"calib_mops_local2":${calibArr(2)},"calib_mops_local8":${calibArr(8)},"calib_mops_local32":${calibArr(32)},"membw_local2":${bwArrJ(2)},"membw_local8":${bwArrJ(8)},"membw_local32":${bwArrJ(32)},"quiet_frac":$QuietFrac,"quiet_fallback":$qfb,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"crawl_round_ms":$crawlMs,"ann_recall5_lsh":$recallLsh%.3f,"ann_recall5_ivf":$recallIvf%.3f,"lsh_max_bucket":$lshMaxBucket,"lsh_bucket_cap":${graft.pipeline.Similarity.LshBucketCap},"selection_us_per_page":$selUsPerDoc%.1f,"selection_decode_us_per_page":$selDecodeUsPerDoc%.1f,"selection_pages":$selDocs,"selection_calib_mops":$selCalib%.0f,"selection_membw_mbs":$selBw%.0f,"selection_samples":$selSamples,"selection_quiet_fallback":$selQuietFallback,"headline_calib_mops":$qc,"micro_select_us":$microSelect%.1f,"micro_serial_us":$microSerial%.1f,"micro_find_us":$microFind%.1f,"micro_parse_us":$microParse%.1f,"micro_calib_mops":$microCalib%.0f,"reference_micro_us":{"simple":36.6,"serial":16.4,"find":7.9},"reference_selection_us":36.6,"scaling_note":"frontier rounds use the snapshot-persisted URL-seen bloom built OUTSIDE the timed region (the Frontier.crawl production shape); 2 interleaved passes per N + up to $MaxExtraPasses calibration-gated extras (never result-conditioned); per-N time = min over passes whose pre-pass $cpus-thread CPU calibration >= $QuietFrac AND sequential-read bandwidth >= $BwQuietFrac of the run's best (quiet_fallback lists Ns where no pass qualified); host vCPU oversubscription caps raw 8-to-32 scaling, so 2-to-8 is the engine-scaling pair; crawl_round_ms = per-round compute wall over 4 discovery rounds (seen grows, incremental bloom keeps cost flat); headline queries: bounded calibration-gated quiet-wait before each query (headline_calib_mops per query), then min of 3 timed runs"}""")
   }
 }
