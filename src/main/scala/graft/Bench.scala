@@ -219,13 +219,15 @@ object Bench {
         (System.nanoTime() - t0) / 1e3 / n
       }
       selectRun(2000); serialRun(2000); findRun(4000); parseRun(500) // JIT warmup
-      var c1 = calibMops(1)
-      var best1 = c1
-      var waits = 5
-      while (c1 < QuietFrac * best1 && waits > 0) {
-        waits -= 1; Thread.sleep(2000); c1 = calibMops(1); best1 = math.max(best1, c1)
+      // 3 interleaved rounds, per-metric min: this block runs FIRST in the
+      // process, so there is no earlier calibration to seed a quiet gate —
+      // interleaving + min is the bootstrap-free way to dodge a congested
+      // minute (single-thread calib of each round still reported)
+      val rounds = (1 to 3).map { _ =>
+        (calibMops(1), selectRun(4000), serialRun(4000), findRun(8000), parseRun(700))
       }
-      (selectRun(5000), serialRun(5000), findRun(10000), parseRun(1000), c1)
+      (rounds.map(_._2).min, rounds.map(_._3).min, rounds.map(_._4).min,
+        rounds.map(_._5).min, rounds.map(_._1).max)
     }
 
     val benchDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/dev/shm/graft-bench")
