@@ -382,6 +382,17 @@ object SparkEntry {
             .as("n_main_only"))
         .orderBy("doc_id")),
 
+    // X2: attrs() in stored order (map insertion order = source order)
+    "q_dom_attrs" -> ((s, dir) =>
+      parts(s, dir)
+        .withColumn("aid", expr("element_at(css_select(nodes, 'a.plink'), 1)"))
+        .select(col("doc_id"),
+          expr("array_join(map_keys(element_at(nodes, aid + 1).attrs), ',')")
+            .as("attr_names"),
+          expr("array_join(map_values(element_at(nodes, aid + 1).attrs), ',')")
+            .as("attr_values"))
+        .orderBy("doc_id")),
+
     // flagship link extraction (P10 :has + Q3 chains + X1/X6)
     "q_links" -> ((s, dir) => qLinks(s, dir)),
 
@@ -798,6 +809,11 @@ object SparkEntry {
             cast($W as bigint) AS n_li_only,
             cast(2 as bigint) AS n_main_only
             FROM part ORDER BY doc_id""",
+      "q_dom_attrs" ->
+        """SELECT cast(p_partkey as varchar) AS doc_id,
+           'href,class' AS attr_names,
+           '/part/' || p_partkey || ',plink' AS attr_values
+           FROM part ORDER BY doc_id""",
       "q_events_windowed" ->
         """SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d') AS day,
            event_type, cast(count(*) as bigint) AS n,

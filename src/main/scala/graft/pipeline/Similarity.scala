@@ -90,19 +90,14 @@ object Similarity {
   def lshTopK(emb: DataFrame, nQueries: Int, k: Int,
       nTables: Int = LshTables, bitsPerTable: Int = LshBits,
       maxBucket: Int = LshBucketCap): DataFrame = {
+    graft.spark.GraftFunctions.register(emb.sparkSession)
+    // native one-pass signatures (≡ the per-table HOF fold, PipelineSpec
+    // differential) — ONE scan computes all tables (a self-join would
+    // evaluate the hyperplane folds twice); (tbl, bits, vec_id) rows only
+    // from here on
     val tables = (0 until nTables).map { t =>
-      val bitExprs = (0 until bitsPerTable).map { b =>
-        val j = t * bitsPerTable + b
-        s"""CASE WHEN aggregate(zip_with(embedding,
-              transform(sequence(0, 63),
-                d -> ((($j * 64 + d) * 2654435761L) % 1000003L) / 1000003.0D - 0.5D),
-              (x, p) -> cast(x as double) * p), 0.0D, (acc, v) -> acc + v) >= 0.0D
-            THEN ${1L << b}L ELSE 0L END"""
-      }.mkString(" + ")
-      expr(bitExprs)
+      graft.spark.GraftFunctions.lsh_bits(col("embedding"), t * bitsPerTable, bitsPerTable)
     }
-    // ONE scan computes all signatures (a self-join would evaluate the
-    // hyperplane folds twice); (tbl, bits, vec_id) rows only from here on
     val sig = emb.withColumn("sigs", array(tables: _*))
       .select(col("vec_id"), posexplode(col("sigs")).as(Seq("tbl", "bits")))
     val corpusSide = sig.groupBy("tbl", "bits")
@@ -123,16 +118,9 @@ object Similarity {
   /** Max LSH bucket population under the default config — the bench reports
     * this next to [[LshBucketCap]] so a binding cap is visible, not silent. */
   def lshMaxBucket(emb: DataFrame): Long = {
+    graft.spark.GraftFunctions.register(emb.sparkSession)
     val tables = (0 until LshTables).map { t =>
-      val bitExprs = (0 until LshBits).map { b =>
-        val j = t * LshBits + b
-        s"""CASE WHEN aggregate(zip_with(embedding,
-              transform(sequence(0, 63),
-                d -> ((($j * 64 + d) * 2654435761L) % 1000003L) / 1000003.0D - 0.5D),
-              (x, p) -> cast(x as double) * p), 0.0D, (acc, v) -> acc + v) >= 0.0D
-            THEN ${1L << b}L ELSE 0L END"""
-      }.mkString(" + ")
-      expr(bitExprs)
+      graft.spark.GraftFunctions.lsh_bits(col("embedding"), t * LshBits, LshBits)
     }
     emb.withColumn("sigs", array(tables: _*))
       .select(posexplode(col("sigs")).as(Seq("tbl", "bits")))
@@ -210,7 +198,10 @@ object Similarity {
     // rows only — never two 64-float embeddings per candidate row; the
     // payloads rejoin on the deduped id pairs. One signature per vector ⇒
     // each pair appears in at most one bucket, so no distinct is needed.
-    val sig = corpus.withColumn("bucket", expr(lshSignatureSql("embedding", 12, 64)))
+    graft.spark.GraftFunctions.register(emb.sparkSession)
+    // native one-pass 12-bit signature (≡ lshSignatureSql, differential)
+    val sig = corpus.withColumn("bucket",
+        graft.spark.GraftFunctions.lsh_bits(col("embedding"), 0, 12))
       .select(col("vec_id"), col("bucket"))
     val candIds = sig.as("a").join(sig.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))

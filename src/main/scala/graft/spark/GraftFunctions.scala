@@ -50,6 +50,7 @@ object GraftFunctions {
     }
     add("dom_mutate_ops")(es => DomMutateOps(es))
     add("dom_find")(es => DomFind(es(0), es(1)))
+    add("lsh_bits")(es => LshBitsExpr(es(0), es(1), es(2)))
     add("minhash_sig")(es => MinhashSig(es.head))
     add("simhash_bits")(es => SimhashBits(es.head))
     add("norm_fingerprint")(es => NormFingerprint(es.head))
@@ -111,6 +112,8 @@ object GraftFunctions {
   def minhash_sig(shingles: Column): Column = call_function("minhash_sig", shingles)
   def simhash_bits(tokenHashes: Column): Column = call_function("simhash_bits", tokenHashes)
   def norm_fingerprint(text: Column): Column = call_function("norm_fingerprint", text)
+  def lsh_bits(embedding: Column, jStart: Int, nBits: Int): Column =
+    call_function("lsh_bits", embedding, lit(jStart), lit(nBits))
   def dom_find(nodes: Column, path: Seq[String]): Column =
     call_function("dom_find", nodes, lit(path.mkString(",")))
   def parse_html_meta(html: Column): Column = call_function("parse_html_meta", html)

@@ -69,6 +69,34 @@ object PipelineExprOps {
     sim
   }
 
+  /** Random-hyperplane LSH bits ≡ `Similarity.lshSignatureSql` /
+    * `lshTopK`'s per-table SQL: bit b (value 1<<b) set iff the sequential
+    * double fold of embedding·plane(jStart+b) is ≥ 0, plane(j)(d) =
+    * ((j*64+d)*2654435761 % 1000003)/1000003.0 − 0.5. Mirrors the HOF's
+    * null semantics: a non-64-dim or null-holding array zips with nulls →
+    * null fold → every bit 0. */
+  def lshBits(arr: ArrayData, jStart: Int, nBits: Int): Long = {
+    val n = arr.numElements()
+    if (n != 64) return 0L
+    var d0 = 0
+    while (d0 < 64) { if (arr.isNullAt(d0)) return 0L; d0 += 1 }
+    var out = 0L
+    var b = 0
+    while (b < nBits) {
+      val j = jStart + b
+      var acc = 0.0
+      var d = 0
+      while (d < 64) {
+        val p = (((j * 64 + d).toLong * 2654435761L) % 1000003L) / 1000003.0 - 0.5
+        acc += arr.getFloat(d).toDouble * p
+        d += 1
+      }
+      if (acc >= 0.0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   private def isJavaS(cp: Int): Boolean =
     cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
 
@@ -153,4 +181,29 @@ case class NormFingerprint(child: Expression) extends UnaryExpression {
   override def prettyName: String = "norm_fingerprint"
   override protected def withNewChildInternal(c: Expression): NormFingerprint =
     copy(child = c)
+}
+
+/** `lsh_bits(embedding, jStart, nBits)` ≡ the HOF hyperplane-fold SQL in
+  * [[graft.pipeline.Similarity]] (PipelineSpec differential): one native
+  * pass instead of `nBits` interpreted `aggregate(zip_with(...))` folds —
+  * the ANN signature map side stays inside whole-stage codegen. */
+case class LshBitsExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  @transient private lazy val jStart =
+    second.eval(null).asInstanceOf[Number].intValue()
+  @transient private lazy val nBits =
+    third.eval(null).asInstanceOf[Number].intValue()
+
+  override def nullSafeEval(a: Any, j: Any, b: Any): Any =
+    PipelineExprOps.lshBits(a.asInstanceOf[ArrayData], jStart, nBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, j, b) =>
+      s"graft.spark.PipelineExprOps.lshBits($a, (int)$j, (int)$b)")
+
+  override def prettyName: String = "lsh_bits"
+  override protected def withNewChildrenInternal(f: Expression, s2: Expression,
+      t: Expression): LshBitsExpr = copy(first = f, second = s2, third = t)
 }

@@ -59,6 +59,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(diff == 0L)
   }
 
+  test("native lsh_bits equals the documented HOF hyperplane fold") {
+    graft.spark.GraftFunctions.register(spark)
+    val emb = Similarity.withSyntheticNearDups(Similarity.embeddings(spark, sf))
+    // 12-bit single-table form (near-dup path)
+    val d1 = emb
+      .withColumn("a", graft.spark.GraftFunctions.lsh_bits(col("embedding"), 0, 12))
+      .withColumn("b", expr(Similarity.lshSignatureSql("embedding", 12, 64)))
+      .filter(expr("a IS DISTINCT FROM b")).count()
+    assert(d1 == 0L)
+    // the 8x3 multi-table form (plane index j = t*3 + b, bit value 1<<b)
+    val hof = (0 until Similarity.LshTables).map { t =>
+      val bits = (0 until Similarity.LshBits).map { b =>
+        val j = t * Similarity.LshBits + b
+        s"""CASE WHEN aggregate(zip_with(embedding,
+              transform(sequence(0, 63),
+                d -> ((($j * 64 + d) * 2654435761L) % 1000003L) / 1000003.0D - 0.5D),
+              (x, p) -> cast(x as double) * p), 0.0D, (acc, v) -> acc + v) >= 0.0D
+            THEN ${1L << b}L ELSE 0L END"""
+      }.mkString(" + ")
+      expr(bits)
+    }
+    val native = (0 until Similarity.LshTables).map { t =>
+      graft.spark.GraftFunctions.lsh_bits(col("embedding"), t * Similarity.LshBits,
+        Similarity.LshBits)
+    }
+    val d2 = emb.withColumn("a", array(native: _*)).withColumn("b", array(hof: _*))
+      .filter(expr("a IS DISTINCT FROM b")).count()
+    assert(d2 == 0L)
+  }
+
   test("LSH ANN recall@5 vs brute force is usable (approximate by design)") {
     val emb = Similarity.embeddings(spark, sf)
     val exact = Similarity.bruteForceTopK(emb, nQueries = 20, k = 5)
