@@ -393,6 +393,27 @@ object SparkEntry {
             .as("attr_values"))
         .orderBy("doc_id")),
 
+    // M3 prepend + M4/M5 sibling inserts + M10 set_html + P8 :any-link +
+    // F1/F6 body find — the insert family end-to-end with re-selection
+    "q_dom_insert_family" -> ((s, dir) =>
+      parts(s, dir)
+        .withColumn("nodes2", F.dom_mutate_ops(col("nodes"), Seq(
+          ("ul.words", "prepend_html", lit("<li class=\"first\">zero</li>"), lit(null)),
+          ("a.plink", "before_html",
+            concat(lit("<span class=\"pre\">"), col("doc_id"), lit("</span>")), lit(null)),
+          ("a.plink", "after_html", lit("<span class=\"post\">]</span>"), lit(null)),
+          ("p.sz", "set_html", lit("<em>resized</em>"), lit(null)))))
+        .select(col("doc_id"),
+          F.dom_text(col("nodes2"),
+            F.css_select(col("nodes2"), "ul.words li:first-child")).as("first_li"),
+          F.dom_text(col("nodes2"), F.css_select(col("nodes2"), "span.pre")).as("pre_mark"),
+          F.dom_text(col("nodes2"),
+            F.css_select(col("nodes2"), "span.pre + a.plink + span.post")).as("post_mark"),
+          F.dom_text(col("nodes2"), F.css_select(col("nodes2"), "p.sz")).as("p_text"),
+          size(F.css_select(col("nodes2"), ":any-link")).cast("long").as("n_links"),
+          size(F.dom_find(col("nodes2"), Seq("body"))).cast("long").as("n_body"))
+        .orderBy("doc_id")),
+
     // flagship link extraction (P10 :has + Q3 chains + X1/X6)
     "q_links" -> ((s, dir) => qLinks(s, dir)),
 
@@ -813,6 +834,15 @@ object SparkEntry {
         """SELECT cast(p_partkey as varchar) AS doc_id,
            'href,class' AS attr_names,
            '/part/' || p_partkey || ',plink' AS attr_values
+           FROM part ORDER BY doc_id""",
+      "q_dom_insert_family" ->
+        """SELECT cast(p_partkey as varchar) AS doc_id,
+           'zero' AS first_li,
+           cast(p_partkey as varchar) AS pre_mark,
+           ']' AS post_mark,
+           'resized' AS p_text,
+           cast(1 as bigint) AS n_links,
+           cast(1 as bigint) AS n_body
            FROM part ORDER BY doc_id""",
       "q_events_windowed" ->
         """SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d') AS day,
