@@ -26,5 +26,10 @@ object DriveDemo {
     println("EMPTY_PARSE_NODES=" + Doc.parse("").arena.size)
     println("GARBAGE=" + Doc.parse("<<<>>>&&& <p unclosed").select("p").length)
     println("GARBAGE_HTML=" + Doc.parse("<<<>>>&&& <p unclosed").html)
+    // round-3 surfaces: full entity table, SVG foreign content, CDATA
+    println("ENTITY=" + Doc.parse("<p>Caf&eacute; &alpha;&ndash;&omega; &notit;</p>").select("p").text)
+    val svg = Doc.parse("""<svg viewbox="0 0 2 2"><foreignobject><div id=d>in</div></foreignobject><desc><![CDATA[a < b]]></desc></svg>""")
+    println("SVG=" + svg.select("body").innerHtml.getOrElse(""))
+    println("SVG_SEL=" + svg.select("foreignObject #d").text)
   }
 }
