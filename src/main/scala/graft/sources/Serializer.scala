@@ -10,28 +10,66 @@ import graft.css.NodeAccess
 object Serializer {
 
   private sealed trait Op
-  private case class Open(id: Int) extends Op
+  private case class Open(id: Int, ctx: String) extends Op
   private case class Close(name: String) extends Op
 
-  private def childOps(acc: NodeAccess, id: Int): List[Op] = {
+  private def childOps(acc: NodeAccess, id: Int, ctx: String): List[Op] = {
     var kids: List[Op] = Nil
     var c = acc.lastChild(id)
-    while (c != -1) { kids = Open(c) :: kids; c = acc.prevSibling(c) }
+    while (c != -1) { kids = Open(c, ctx) :: kids; c = acc.prevSibling(c) }
     kids
+  }
+
+  /** Namespace context an element's CHILDREN live in, given the context the
+    * element itself lives in — reconstructs html5ever's per-node namespace
+    * from structure (svg/math roots, HTML/MathML-text integration points,
+    * annotation-xml encoding), since the arena stores no ns column. */
+  private def childCtx(acc: NodeAccess, id: Int, parentCtx: String): String = {
+    val name = acc.name(id)
+    val own = if (name == "svg") "svg" else if (name == "math") "math" else parentCtx
+    if (own == "svg" &&
+      (name == "foreignObject" || name == "desc" || name == "title")) "html"
+    else if (own == "math" && (name == "mi" || name == "mo" || name == "mn" ||
+      name == "ms" || name == "mtext")) "html"
+    else if (own == "math" && name == "annotation-xml" && {
+      val enc = acc.attr(id, "encoding")
+      enc != null && (enc.equalsIgnoreCase("text/html") ||
+        enc.equalsIgnoreCase("application/xhtml+xml"))
+    }) "html"
+    else own
+  }
+
+  /** Context the node at `id` itself lives in: fold childCtx over its
+    * ancestor chain (root-down). */
+  private def ctxAt(acc: NodeAccess, id: Int): String = {
+    var chain: List[Int] = Nil
+    var p = acc.parent(id)
+    while (p != -1) { chain = p :: chain; p = acc.parent(p) }
+    var ctx = "html"
+    chain.foreach { n => if (acc.isElement(n)) ctx = childCtx(acc, n, ctx) }
+    ctx
   }
 
   /** Serialize to HTML. `includeRoot=true` ≈ `html()`, false ≈ `inner_html()`
     * (reference `node_ref.rs:560-602`). Template contents are serialized
-    * inside their host element (serializing.rs:60-63). */
+    * inside their host element (serializing.rs:60-63). Void-element and
+    * raw-text serialization rules apply to HTML-namespace elements only: an
+    * SVG element that happens to be NAMED `area`/`title` keeps its children
+    * and escaping (html5ever serializes by stored QualName; we reconstruct
+    * the namespace from structure via [[childCtx]]). */
   def toHtml(acc: NodeAccess, root: Int, includeRoot: Boolean,
       templateContents: Int => Int = _ => -1): String = {
     val sb = new java.lang.StringBuilder
-    var stack: List[Op] = if (includeRoot) List(Open(root)) else childOps(acc, root)
+    val rootCtx = ctxAt(acc, root)
+    var stack: List[Op] =
+      if (includeRoot) List(Open(root, rootCtx))
+      else childOps(acc, root,
+        if (acc.isElement(root)) childCtx(acc, root, rootCtx) else rootCtx)
     while (stack.nonEmpty) {
       val op = stack.head
       stack = stack.tail
       op match {
-        case Open(id) =>
+        case Open(id, ctx) =>
           acc.kind(id) match {
             case "element" =>
               val name = acc.name(id)
@@ -40,19 +78,21 @@ object Serializer {
                 sb.append(' ').append(k).append("=\"").append(Entities.escapeAttr(v)).append('"')
               }
               sb.append('>')
-              if (!HtmlParser.VoidElements(name)) {
+              if (!(ctx == "html" && HtmlParser.VoidElements(name))) {
                 stack = Close(name) :: stack
-                var kids = childOps(acc, id)
+                val cctx = childCtx(acc, id, ctx)
+                var kids = childOps(acc, id, cctx)
                 val tc = templateContents(id)
-                if (tc != -1) kids = Open(tc) :: kids
+                if (tc != -1) kids = Open(tc, cctx) :: kids
                 stack = kids ::: stack
               }
             case "text" =>
               val t = acc.text(id)
               if (t != null) {
-                // raw-text element contents are not escaped (html5ever serializer)
+                // raw-text element contents are not escaped (html5ever
+                // serializer) — HTML-namespace raw-text elements only
                 val p = acc.parent(id)
-                val rawParent = p != -1 && acc.isElement(p) &&
+                val rawParent = ctx == "html" && p != -1 && acc.isElement(p) &&
                   (HtmlParser.RawTextElements(acc.name(p)) || acc.name(p) == "plaintext")
                 sb.append(if (rawParent) t else Entities.escapeText(t))
               }
@@ -63,7 +103,7 @@ object Serializer {
             case "pi" =>
               sb.append("<?").append(if (acc.text(id) == null) "" else acc.text(id)).append('>')
             case _ => // document/fragment: children only
-              stack = childOps(acc, id) ::: stack
+              stack = childOps(acc, id, ctx) ::: stack
           }
         case Close(name) =>
           sb.append("</").append(name).append('>')
@@ -90,7 +130,9 @@ object Serializer {
     *  - for includeRoot=false, trailing whitespace is trimmed. */
   def formattedText(acc: NodeAccess, root: Int, includeRoot: Boolean): String = {
     val text = new java.lang.StringBuilder
-    var stack: List[Op] = if (includeRoot) List(Open(root)) else childOps(acc, root)
+    // ns context is irrelevant to formatted text — "html" throughout
+    var stack: List[Op] =
+      if (includeRoot) List(Open(root, "html")) else childOps(acc, root, "html")
 
     def endsWith(s: String): Boolean =
       text.length >= s.length && text.substring(text.length - s.length) == s
@@ -147,7 +189,7 @@ object Serializer {
       val op = stack.head
       stack = stack.tail
       op match {
-        case Open(id) =>
+        case Open(id, _) =>
           acc.kind(id) match {
             case "text" => if (acc.text(id) != null) pushNormalized(acc.text(id))
             case "element" =>
@@ -158,9 +200,9 @@ object Serializer {
               if (name == "pre") {
                 text.append(graft.css.Engine.subtreeText(acc, id))
               } else {
-                stack = childOps(acc, id) ::: stack
+                stack = childOps(acc, id, "html") ::: stack
               }
-            case _ => stack = childOps(acc, id) ::: stack
+            case _ => stack = childOps(acc, id, "html") ::: stack
           }
         case Close(name) => closeAdjust(name)
       }

@@ -81,4 +81,18 @@ class SvgSpec extends AnyFunSuite {
     assert(body("""<div><![CDATA[x]]></div>""") ==
       """<div><!--[CDATA[x]]--></div>""")
   }
+
+  test("void/raw-text serialization rules are HTML-namespace only") {
+    // an SVG-ns element NAMED 'area' keeps its children and closing tag
+    // (html5ever serializes by stored QualName; void-ness is an HTML rule)
+    assert(body("""<svg><area>x</area><circle/></svg>""") ==
+      """<svg><area>x</area><circle></circle></svg>""")
+    // ...but a real HTML <br> inside a foreignObject integration point is
+    // void again (children context returns to HTML)
+    assert(body("""<svg><foreignobject><br></foreignobject></svg>""") ==
+      """<svg><foreignObject><br></foreignObject></svg>""")
+    // svg <title> text is escaped (RCDATA/raw rules are HTML-ns only)
+    assert(body("""<svg><desc>a&amp;b</desc></svg>""") ==
+      """<svg><desc>a&amp;b</desc></svg>""")
+  }
 }
