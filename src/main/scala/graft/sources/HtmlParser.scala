@@ -205,7 +205,14 @@ object HtmlParser {
             emit(tok)
             i = next
             tok match {
-              case TStart(name, _, false) if RawTextElements(name) || RcdataElements(name) =>
+              // raw-text/RCDATA consumption is an HTML-namespace tokenizer
+              // state: inside foreign content <title>/<script>/<style> are
+              // ordinary elements whose children are parsed markup
+              // (html5ever's tokenizer-state feedback) — inForeign() is
+              // consulted AFTER emit, so the builder has already pushed
+              // this element with its namespace
+              case TStart(name, _, false)
+                  if (RawTextElements(name) || RcdataElements(name)) && !inForeign() =>
                 // consume raw text until the matching close tag — manual
                 // case-insensitive scan (a compiled regex per element instance
                 // dominated tokenizer cost)

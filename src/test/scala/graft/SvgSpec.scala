@@ -95,4 +95,15 @@ class SvgSpec extends AnyFunSuite {
     assert(body("""<svg><desc>a&amp;b</desc></svg>""") ==
       """<svg><desc>a&amp;b</desc></svg>""")
   }
+
+  test("raw-text tokenizer states are HTML-only: svg title/script hold markup") {
+    assert(body("""<svg><title><g>x</g></title><rect/></svg>""") ==
+      """<svg><title><g>x</g></title><rect></rect></svg>""")
+    val d = Doc.parse("""<svg><title><g id=t>x</g></title></svg>""")
+    assert(d.select("svg title g").length == 1)
+    // HTML <title> is still RCDATA (markup stays text)
+    val h = Doc.parse("""<html><head><title><g>x</g></title></head></html>""")
+    assert(h.select("title g").length == 0)
+    assert(h.select("title").text == "<g>x</g>")
+  }
 }
