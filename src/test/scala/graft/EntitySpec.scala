@@ -63,4 +63,16 @@ class EntitySpec extends AnyFunSuite {
     val d = Doc.parse("<html><head><title>A &CenterDot; B &半</title></head></html>")
     assert(d.select("title").text == "A · B &半")
   }
+
+  test("more spec edges: long names need the semicolon, X-hex, legacy mix") {
+    // 31-char names have no legacy form — without ';' they stay literal
+    assert(dec("&CounterClockwiseContourIntegral x") ==
+      "&CounterClockwiseContourIntegral x")
+    // legacy 'times' without ';' vs longer semicolon names sharing the prefix
+    assert(dec("&times &timesb; &timesbar;") == "× ⊠ ⨱")
+    assert(dec("pre&curren;post") == "pre¤post")
+    // uppercase X hex and no-semicolon decimal at end of input
+    assert(dec("&DoubleRightArrow;&#X27;&#39") == "⇒''")
+    assert(dec("&thetasym; &upsih;") == "ϑ ϒ")
+  }
 }

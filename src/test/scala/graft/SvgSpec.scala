@@ -106,4 +106,20 @@ class SvgSpec extends AnyFunSuite {
     assert(h.select("title g").length == 0)
     assert(h.select("title").text == "<g>x</g>")
   }
+
+  test("nested namespaces: math inside svg integration point and back") {
+    // foreignObject returns to HTML; a <math> inside it opens MathML again
+    assert(body("""<svg><foreignobject><math><mi>x</mi></math></foreignobject></svg>""") ==
+      """<svg><foreignObject><math><mi>x</mi></math></foreignObject></svg>""")
+    // annotation-xml WITHOUT the html encoding stays MathML — and <p> is a
+    // BREAKOUT tag, so it pops clear out of the math (the annotation-xml
+    // special case admits only <svg>); the trailing stray </p> then
+    // inserts an empty <p> per the in-body rules
+    assert(body("""<math><annotation-xml><p><p>x</p></p></annotation-xml></math>""") ==
+      """<math><annotation-xml></annotation-xml></math><p></p><p>x</p><p></p>""")
+    // a NON-breakout name (abbr — span/p/div are all in the breakout
+    // list) does stay foreign inside it
+    assert(body("""<math><annotation-xml><abbr>x</abbr></annotation-xml></math>""") ==
+      """<math><annotation-xml><abbr>x</abbr></annotation-xml></math>""")
+  }
 }
