@@ -140,7 +140,8 @@ object Bench {
       .select("url").distinct()
       .write.mode("overwrite").parquet(s"$dir/seen")
     val bloomBits = 1L << 24
-    val bloom = s.read.parquet(s"$dir/seen").stat.bloomFilter("url",
+    // xxhash64-long key space: required by the native might_contain probe
+    val bloom = Frontier.urlBloom(s.read.parquet(s"$dir/seen"),
       graft.crawl.Frontier.bloomExpectedItems(bloomBits), bloomBits)
     (s.read.parquet(s"$dir/frontier").count(), bloom)
   }
@@ -348,7 +349,7 @@ object Bench {
       // The decode-only baseline (parquet nested-array floor under the same
       // scan — the reference's 36.6 µs is select-only on a pre-parsed
       // in-memory page) is timed inside the same window as its pass.
-      val samples = (1 to 4).map { _ =>
+      def onePass(): (Double, Double, Double, Double) = {
         val bw = noteBw(memBwMBs())
         val c = note(calibMops(cpus))
         val t0 = System.nanoTime()
@@ -359,6 +360,16 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
         val dec = (System.nanoTime() - t1) / 1e9
         (sel, dec, c, bw)
+      }
+      var samples = (1 to 4).map(_ => onePass())
+      // bounded quiet-window extension (r3 ask #8): up to 3 extra passes
+      // while NO pass is calibration-quiet — conditioned on the calibration
+      // readings only, never on the measured times, same as the frontier
+      // block — so `selection_quiet_fallback` is rare instead of routine
+      var selExtra = 3
+      while (selExtra > 0 && !samples.exists(x => isQuiet(x._3, x._4))) {
+        samples = samples :+ onePass()
+        selExtra -= 1
       }
       selSamples = samples.map(x => f"[${x._1}%.2f,${x._2}%.2f,${x._3}%.0f,${x._4}%.0f]")
         .mkString("[", ",", "]")
@@ -419,22 +430,29 @@ object Bench {
       }
     } finally { s.stop() }
 
-    // ANN recall@5 vs the exact brute-force ranking + the LSH bucket-cap
-    // audit metric (max observed bucket vs the deterministic cap)
-    val (recallLsh, recallIvf, lshMaxBucket) = {
+    // ANN recall@5 vs the exact brute-force ranking + the bucket/band-cap
+    // audit metrics (max observed population vs each deterministic cap —
+    // binding caps must be visible, never silent)
+    val (recallLsh, recallIvf, lshMaxBucket, neardupMaxBucket,
+        minhashMaxBand, simhashMaxBand) = {
       val sR = session(cpus)
       try {
-        import graft.pipeline.Similarity
+        import graft.pipeline.{Similarity, TextPipeline}
         val emb = Similarity.embeddings(sR, sfDir)
         def pairs(df: org.apache.spark.sql.DataFrame) =
           df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
         val exact = pairs(Similarity.bruteForceTopK(emb, 20, 5))
         val lsh = pairs(Similarity.lshTopK(emb, 20, 5))
         val ivf = pairs(Similarity.ivfTopK(emb, 20, 5))
+        val corpus = TextPipeline.withSyntheticDups(TextPipeline.documents(sR, sfDir))
         (exact.intersect(lsh).size.toDouble / exact.size,
           exact.intersect(ivf).size.toDouble / exact.size,
-          Similarity.lshMaxBucket(emb))
-      } catch { case _: Throwable => (-1.0, -1.0, -1L) } finally { sR.stop() }
+          Similarity.lshMaxBucket(emb),
+          Similarity.neardupMaxBucket(emb),
+          TextPipeline.minhashMaxBand(corpus),
+          TextPipeline.simhashMaxBand(corpus))
+      } catch { case _: Throwable => (-1.0, -1.0, -1L, -1L, -1L, -1L) }
+      finally { sR.stop() }
     }
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
@@ -446,7 +464,15 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val crawlMs = crawlRoundMs.mkString("[", ",", "]")
     val qfb = quietFallback.mkString("[", ",", "]")
+    // FIRST line = the complete compact record (metric + every number a
+    // reader quotes) — r3 ask #2: the driver's capture window truncated the
+    // old single giant line mid-array (`BENCH_r03.json parsed: null`), so the
+    // record of note must fit up front, with the raw per-pass diagnostic
+    // series on a separate second line.
     println(
-      f"""{"metric":"frontier throughput (URLs scheduled+deduped/sec)","value":$thr32%.0f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","headline_total_sec":$total%.3f,"shuffle_write_mb":$sh,"frontier_urls":$nUrls,"thr_local2":$thr2%.0f,"thr_local8":$thr8%.0f,"thr_local32":$thr32%.0f,"passes_local2":${passArr(2)},"passes_local8":${passArr(8)},"passes_local32":${passArr(32)},"calib_mops_local2":${calibArr(2)},"calib_mops_local8":${calibArr(8)},"calib_mops_local32":${calibArr(32)},"membw_local2":${bwArrJ(2)},"membw_local8":${bwArrJ(8)},"membw_local32":${bwArrJ(32)},"quiet_frac":$QuietFrac,"quiet_fallback":$qfb,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"crawl_round_ms":$crawlMs,"ann_recall5_lsh":$recallLsh%.3f,"ann_recall5_ivf":$recallIvf%.3f,"lsh_max_bucket":$lshMaxBucket,"lsh_bucket_cap":${graft.pipeline.Similarity.LshBucketCap},"selection_us_per_page":$selUsPerDoc%.1f,"selection_decode_us_per_page":$selDecodeUsPerDoc%.1f,"selection_pages":$selDocs,"selection_calib_mops":$selCalib%.0f,"selection_membw_mbs":$selBw%.0f,"selection_samples":$selSamples,"selection_quiet_fallback":$selQuietFallback,"headline_calib_mops":$qc,"micro_select_us":$microSelect%.1f,"micro_serial_us":$microSerial%.1f,"micro_find_us":$microFind%.1f,"micro_parse_us":$microParse%.1f,"micro_calib_mops":$microCalib%.0f,"reference_micro_us":{"simple":36.6,"serial":16.4,"find":7.9},"reference_selection_us":36.6,"scaling_note":"frontier rounds use the snapshot-persisted URL-seen bloom built OUTSIDE the timed region (the Frontier.crawl production shape); 2 interleaved passes per N + up to $MaxExtraPasses calibration-gated extras (never result-conditioned); per-N time = min over passes whose pre-pass $cpus-thread CPU calibration >= $QuietFrac AND sequential-read bandwidth >= $BwQuietFrac of the run's best (quiet_fallback lists Ns where no pass qualified); host vCPU oversubscription caps raw 8-to-32 scaling, so 2-to-8 is the engine-scaling pair; crawl_round_ms = per-round compute wall over 4 discovery rounds (seen grows, incremental bloom keeps cost flat); headline queries: bounded calibration-gated quiet-wait before each query (headline_calib_mops per query), then min of 3 timed runs"}""")
+      f"""{"metric":"frontier throughput (URLs scheduled+deduped/sec)","value":$thr32%.0f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","headline_total_sec":$total%.3f,"shuffle_write_mb":$sh,"frontier_urls":$nUrls,"thr_local2":$thr2%.0f,"thr_local8":$thr8%.0f,"thr_local32":$thr32%.0f,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"quiet_fallback":$qfb,"crawl_round_ms":$crawlMs,"ann_recall5_lsh":$recallLsh%.3f,"ann_recall5_ivf":$recallIvf%.3f,"lsh_max_bucket":$lshMaxBucket,"lsh_bucket_cap":${graft.pipeline.Similarity.LshBucketCap},"neardup_max_bucket":$neardupMaxBucket,"neardup_bucket_cap":${graft.pipeline.Similarity.NearDupBucketCap},"minhash_max_band":$minhashMaxBand,"simhash_max_band":$simhashMaxBand,"band_cap":${graft.pipeline.TextPipeline.BandCap},"selection_us_per_page":$selUsPerDoc%.1f,"selection_decode_us_per_page":$selDecodeUsPerDoc%.1f,"selection_pages":$selDocs,"selection_quiet_fallback":$selQuietFallback,"micro_select_us":$microSelect%.1f,"micro_serial_us":$microSerial%.1f,"micro_find_us":$microFind%.1f,"micro_parse_us":$microParse%.1f,"reference_micro_us":{"simple":36.6,"serial":16.4,"find":7.9},"reference_selection_us":36.6}""")
+    // SECOND line: raw per-pass series + calibration evidence + protocol note
+    println(
+      f"""{"diagnostics":true,"passes_local2":${passArr(2)},"passes_local8":${passArr(8)},"passes_local32":${passArr(32)},"calib_mops_local2":${calibArr(2)},"calib_mops_local8":${calibArr(8)},"calib_mops_local32":${calibArr(32)},"membw_local2":${bwArrJ(2)},"membw_local8":${bwArrJ(8)},"membw_local32":${bwArrJ(32)},"quiet_frac":$QuietFrac,"selection_calib_mops":$selCalib%.0f,"selection_membw_mbs":$selBw%.0f,"selection_samples":$selSamples,"headline_calib_mops":$qc,"micro_calib_mops":$microCalib%.0f,"scaling_note":"frontier rounds use the snapshot-persisted URL-seen bloom built OUTSIDE the timed region (the Frontier.crawl production shape); 2 interleaved passes per N + up to $MaxExtraPasses calibration-gated extras (never result-conditioned); per-N time = min over passes whose pre-pass $cpus-thread CPU calibration >= $QuietFrac AND sequential-read bandwidth >= $BwQuietFrac of the run's best (quiet_fallback lists Ns where no pass qualified); host vCPU oversubscription caps raw 8-to-32 scaling, so 2-to-8 is the engine-scaling pair; crawl_round_ms = per-round compute wall over 4 discovery rounds (seen grows, incremental bloom keeps cost flat); headline queries: bounded calibration-gated quiet-wait before each query (headline_calib_mops per query), then min of 3 timed runs; selection block runs 4 passes + up to 3 calibration-gated extras"}""")
   }
 }

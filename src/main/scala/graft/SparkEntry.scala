@@ -414,6 +414,35 @@ object SparkEntry {
           size(F.dom_find(col("nodes2"), Seq("body"))).cast("long").as("n_body"))
         .orderBy("doc_id")),
 
+    // T1/T2/T3 traversal surface: child walk + ancestor chains (bounded and
+    // unbounded max_depth) straight off the pointer columns — r3 ask #7
+    "q_dom_traverse" -> ((s, dir) =>
+      parts(s, dir)
+        .withColumn("li1", array(F.css_select_first(col("nodes"), "ul.words li")))
+        .select(col("doc_id"),
+          expr("""array_join(transform(dom_ancestors(nodes, li1, 3),
+                    i -> element_at(nodes, i + 1).name), ',')""").as("anc3_names"),
+          size(F.dom_ancestors(col("nodes"), col("li1"), -1)).cast("long").as("n_anc_all"),
+          expr("""array_join(transform(dom_children(nodes, css_select(nodes, '#main')),
+                    i -> element_at(nodes, i + 1).name), ',')""").as("child_names"),
+          size(F.dom_children(col("nodes"), F.css_select(col("nodes"), "ul.words")))
+            .cast("long").as("n_ul_children"))
+        .orderBy("doc_id")),
+
+    // Q7/M12: append_selection — copies of one selection appended to every
+    // node of another (same-tree source), plus add_selection as array_union
+    "q_dom_append_selection" -> ((s, dir) =>
+      parts(s, dir)
+        .withColumn("nodes2", F.dom_copy_selection(col("nodes"),
+          "ul.words li:nth-child(-n+2)", col("nodes"), "a.plink", "append"))
+        .select(col("doc_id"),
+          size(F.css_select(col("nodes2"), "a.plink")).cast("long").as("n_links"),
+          F.dom_text(col("nodes2"),
+            F.css_select(col("nodes2"), "ul.words li:first-child")).as("first_li"),
+          size(array_union(F.css_select(col("nodes2"), "ul.words li"),
+            F.css_select(col("nodes2"), "a.plink"))).cast("long").as("n_union"))
+        .orderBy("doc_id")),
+
     // flagship link extraction (P10 :has + Q3 chains + X1/X6)
     "q_links" -> ((s, dir) => qLinks(s, dir)),
 
@@ -835,6 +864,19 @@ object SparkEntry {
            'href,class' AS attr_names,
            '/part/' || p_partkey || ',plink' AS attr_values
            FROM part ORDER BY doc_id""",
+      "q_dom_traverse" ->
+        s"""SELECT cast(p_partkey as varchar) AS doc_id,
+            'ul,div,body' AS anc3_names,
+            cast(5 as bigint) AS n_anc_all,
+            'a,ul,p' AS child_names,
+            cast($W as bigint) AS n_ul_children
+            FROM part ORDER BY doc_id""",
+      "q_dom_append_selection" ->
+        s"""SELECT cast(p_partkey as varchar) AS doc_id,
+            cast(1 + least($W, 2) as bigint) AS n_links,
+            string_split(p_name, ' ')[1] || p_type AS first_li,
+            cast($W + 1 + least($W, 2) as bigint) AS n_union
+            FROM part ORDER BY doc_id""",
       "q_dom_insert_family" ->
         """SELECT cast(p_partkey as varchar) AS doc_id,
            'zero' AS first_li,
@@ -1094,9 +1136,15 @@ object SparkEntry {
                                                sig[4*b+3], sig[4*b+4])
                                      for b in range(0, 4)]) AS band
                       FROM sigs),
+            bucketed AS (SELECT band, list_slice(list_sort(list(doc_id)), 1,
+                                                 ${TextPipeline.BandCap}) AS ids
+                         FROM bands GROUP BY band),
+            capped AS (SELECT band, unnest(ids) AS doc_id FROM bucketed),
             cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                            a.shingles AS sh_a, b.shingles AS sh_b
-                     FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+                            sa.shingles AS sh_a, sb.shingles AS sh_b
+                     FROM capped a JOIN capped b ON a.band = b.band AND a.doc_id < b.doc_id
+                     JOIN sh sa ON sa.doc_id = a.doc_id
+                     JOIN sh sb ON sb.doc_id = b.doc_id)
             ${dJaccardSelect(0.6)}""",
       "q_dedup_simhash" ->
         s"""WITH $dCorpus,
@@ -1105,12 +1153,20 @@ object SparkEntry {
             bands AS (SELECT doc_id, sim,
                              unnest([concat_ws(':', b, (sim // (1::BIGINT << (8*b))) % 256)
                                      for b in range(0, 4)]) AS band
-                      FROM sims)
+                      FROM sims),
+            bucketed AS (SELECT band, list_slice(list_sort(list(doc_id)), 1,
+                                                 ${TextPipeline.BandCap}) AS ids
+                         FROM bands GROUP BY band),
+            capped AS (SELECT band, unnest(ids) AS doc_id FROM bucketed)
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.sim, b.sim)) <= 3
+            FROM capped a JOIN capped b ON a.band = b.band AND a.doc_id < b.doc_id
+            JOIN sims sa ON sa.doc_id = a.doc_id
+            JOIN sims sb ON sb.doc_id = b.doc_id
+            WHERE bit_count(xor(sa.sim, sb.sim)) <= 3
             ORDER BY id_a, id_b""",
       "q_embed_neardup" ->
+        // mirrors Similarity.embeddingNearDupPairs exactly, INCLUDING the
+        // deterministic sorted-slice bucket cap (r3 ask #3)
         s"""WITH corpus AS (
               SELECT vec_id, embedding FROM embeddings
               UNION ALL
@@ -1118,10 +1174,19 @@ object SparkEntry {
                      list_concat([cast(embedding[1] * 1.001 as FLOAT4)], embedding[2:])
               FROM embeddings WHERE vec_id % 10 = 0),
             sig AS (SELECT vec_id, embedding,
-                           ${dLshBucket("embedding", 12)} AS bucket FROM corpus)
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b
-            FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-            WHERE ${dCosine("a.embedding", "b.embedding")} >= 0.9
+                           ${dLshBucket("embedding", 12)} AS bucket FROM corpus),
+            bucketed AS (SELECT bucket,
+                                list_slice(list_sort(list(vec_id)), 1,
+                                           ${Similarity.NearDupBucketCap}) AS ids
+                         FROM sig GROUP BY bucket),
+            capped AS (SELECT bucket, unnest(ids) AS vec_id FROM bucketed),
+            cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                     FROM capped a JOIN capped b
+                       ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+            SELECT id_a, id_b
+            FROM cand JOIN sig sa ON sa.vec_id = cand.id_a
+                      JOIN sig sb ON sb.vec_id = cand.id_b
+            WHERE ${dCosine("sa.embedding", "sb.embedding")} >= 0.9
             ORDER BY id_a, id_b""",
       "q_ann_topk" ->
         s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv

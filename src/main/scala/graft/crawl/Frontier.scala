@@ -90,18 +90,34 @@ object Frontier {
    * path): the filter is built incrementally — each round merges a small
    * filter over just that round's newly-seen urls — so per-round cost stays
    * flat as the seen table grows (a fresh `bloom_filter_agg` over the full
-   * seen set would re-scan 10^10 rows every round). Broadcast once per stage.
+   * seen set would re-scan 10^10 rows every round).
+   *
+   * The probe is Spark's NATIVE `might_contain(filterBytes, xxhash64(url))`
+   * (VERDICT r3 ask #4): the filter must be built over `xxhash64(url)` LONGS
+   * ([[urlBloom]]) — the same sketch serialization `bloom_filter_agg`
+   * produces — so the predicate stays inside whole-stage codegen instead of
+   * breaking the hottest filter with a per-row Scala UDF. The serialized
+   * bytes ride as a Literal, exactly how Spark's own runtime bloom join
+   * filters inject the sketch into the probe side.
    */
   def filterUnseenCached(candidates: DataFrame, seen: DataFrame,
       bloom: BloomFilter): DataFrame = {
-    val bc = candidates.sparkSession.sparkContext.broadcast(bloom)
-    val might = udf((u: String) => bc.value.mightContainString(u))
-    val withFlag = candidates.withColumn("maybe_seen", might(col("url")))
+    graft.spark.GraftFunctions.register(candidates.sparkSession)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val withFlag = candidates.withColumn("maybe_seen",
+      call_function("might_contain", lit(bos.toByteArray), xxhash64(col("url"))))
     val definiteNew = withFlag.filter(!col("maybe_seen")).drop("maybe_seen")
     val maybeSeen = withFlag.filter(col("maybe_seen")).drop("maybe_seen")
       .join(seen.select("url"), Seq("url"), "left_anti")
     definiteNew.unionByName(maybeSeen)
   }
+
+  /** Build a [[BloomFilter]] over `xxhash64(url)` longs — the key space
+    * [[filterUnseenCached]]'s native `might_contain` probe expects (and the
+    * one `bloom_filter_agg(xxhash64(url), …)` uses in [[filterUnseen]]). */
+  def urlBloom(urls: DataFrame, expectedItems: Long, bloomBits: Long): BloomFilter =
+    urls.select(xxhash64(col("url")).as("h")).stat.bloomFilter("h", expectedItems, bloomBits)
 
   /**
    * Politeness + priority scheduling (steps 3-4). Returns the scheduled set
@@ -298,7 +314,7 @@ object Frontier {
           try Some(BloomFilter.readFrom(in)) finally in.close()
         } else None
       }.orElse(Some(start match {
-        case Some(_) => seen.stat.bloomFilter("url", estItems, bloomBits)
+        case Some(_) => urlBloom(seen, estItems, bloomBits)
         case None => BloomFilter.create(estItems, bloomBits)
       }))
     def bloomBytes: Option[Array[Byte]] = bloom.map { b =>
@@ -321,8 +337,7 @@ object Frontier {
       val nSched = schedCached.count()
       // merge only this round's additions into the cached filter (same
       // (n, m) parameters → same hash count → mergeable)
-      bloom.foreach(_.mergeInPlace(
-        schedCached.stat.bloomFilter("url", estItems, bloomBits)))
+      bloom.foreach(_.mergeInPlace(urlBloom(schedCached, estItems, bloomBits)))
       val discovered = discover(schedCached)
       val nextFrontier = discovered match {
         case Some(d) => defer.unionByName(d)

@@ -21,6 +21,10 @@ trait NodeAccess {
   def nextSibling(i: Int): Int
   def firstChild(i: Int): Int
   def lastChild(i: Int): Int
+  /** Stored element namespace ("html" | "svg" | "math") — state carried per
+    * element like the reference's QualName (`src/node/node_data.rs:64`), so
+    * serialization/void rules survive cross-namespace reparenting. */
+  def ns(i: Int): String = "html"
 
   // --- derived helpers (pointer walks; always correct, even post-mutation) ---
   // overridable so columnar views can compare kind bytes without allocating
@@ -97,6 +101,7 @@ final class ArenaAccess(a: Arena) extends NodeAccess with graft.sources.AttrIter
   def nextSibling(i: Int): Int = a(i).next
   def firstChild(i: Int): Int = a(i).firstChild
   def lastChild(i: Int): Int = a(i).lastChild
+  override def ns(i: Int): String = a(i).ns
 }
 
 /**

@@ -49,7 +49,13 @@ case class NodeRec(
     type_pos_in_parent: Int,
     n_elem_children: Int,
     prev_elem_sib: Int,
-    next_elem_sib: Int
+    next_elem_sib: Int,
+    // stored element namespace — "html" | "svg" | "math"; null for
+    // non-elements. STATE, not structural inference (reference carries
+    // QualName per element, `src/node/node_data.rs:64`, `dom_tree/tree.rs:
+    // 41-64`): a reparented foreign subtree keeps its namespace, so
+    // serialization/void rules can't silently flip on a legal mutation.
+    ns: String = "html"
 )
 
 /** Canonical interchange span (BASELINE.json input_hint): one row of the
@@ -81,6 +87,8 @@ final class MutNode(
     var mediaRef: String = null
 ) {
   var attrs: mutable.LinkedHashMap[String, String] = null // null for non-elements
+  /** element namespace ("html" | "svg" | "math"); ignored for non-elements */
+  var ns: String = "html"
   var parent: Int = -1
   var prev: Int = -1
   var next: Int = -1
@@ -100,6 +108,7 @@ final class MutNode(
   def deepCopyShallow(): MutNode = {
     val n = new MutNode(kind, name, text, mediaRef)
     if (attrs != null) n.attrs = attrs.clone()
+    n.ns = ns
     n.templateContents = templateContents
     n
   }
@@ -126,9 +135,11 @@ final class Arena {
   /** Append a node to the arena — id = current length (`ops.rs:164-168`). */
   def create(n: MutNode): Int = { nodes += n; nodes.length - 1 }
 
-  def createElement(name: String, attrs: Seq[(String, String)] = Nil): Int = {
+  def createElement(name: String, attrs: Seq[(String, String)] = Nil,
+      ns: String = "html"): Int = {
     val n = new MutNode(NodeKind.Element, name)
     n.attrs = mutable.LinkedHashMap(attrs: _*)
+    n.ns = ns
     create(n)
   }
 
@@ -326,7 +337,8 @@ final class Arena {
         type_pos_in_parent = typePos(i),
         n_elem_children = nElemChildren(i),
         prev_elem_sib = prevElem(i),
-        next_elem_sib = nextElem(i)
+        next_elem_sib = nextElem(i),
+        ns = if (nd.isElement) nd.ns else null
       )
     }
   }
@@ -340,6 +352,7 @@ object Arena {
     recs.foreach { r =>
       val n = new MutNode(r.kind, r.name, r.text, r.media_ref)
       if (r.attrs != null) n.attrs = mutable.LinkedHashMap(r.attrs.toSeq: _*)
+      if (r.ns != null) n.ns = r.ns
       n.parent = r.parent
       n.prev = r.prev_sibling
       n.next = r.next_sibling

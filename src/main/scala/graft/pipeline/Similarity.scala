@@ -128,6 +128,16 @@ object Similarity {
       .agg(max("count")).collect()(0).getLong(0)
   }
 
+  /** Max near-dup 12-bit bucket population (dup-augmented corpus) — reported
+    * beside [[NearDupBucketCap]] so a binding cap is visible, never silent. */
+  def neardupMaxBucket(emb: DataFrame): Long = {
+    graft.spark.GraftFunctions.register(emb.sparkSession)
+    withSyntheticNearDups(emb)
+      .withColumn("bucket", graft.spark.GraftFunctions.lsh_bits(col("embedding"), 0, 12))
+      .groupBy("bucket").count()
+      .agg(max("count")).collect()(0).getLong(0)
+  }
+
   /** Shared re-rank tail: id-pair candidates → narrow payload rejoin →
     * exact cosine → top-k per query (the shuffle up to here carried id pairs
     * only, never two embeddings per candidate row). */
@@ -191,7 +201,16 @@ object Similarity {
     base.unionByName(dups)
   }
 
-  def embeddingNearDupPairs(emb: DataFrame, minCos: Double): DataFrame = {
+  /** Deterministic per-bucket cap for the near-dup pair join (VERDICT r3 ask
+    * #3): without it one degenerate 12-bit bucket (all-zero or boilerplate
+    * embeddings) is an O(b²) candidate blowup — the same straggler/OOM class
+    * [[LshBucketCap]] guards in `lshTopK`. Sorted-slice keeps the cap
+    * deterministic and oracle-mirrored; the bench reports
+    * `neardup_max_bucket` beside it so a binding cap is visible. */
+  val NearDupBucketCap = 1024
+
+  def embeddingNearDupPairs(emb: DataFrame, minCos: Double,
+      maxBucket: Int = NearDupBucketCap): DataFrame = {
     val corpus = withSyntheticNearDups(emb)
     // id-pair + narrow-rerank pattern (same as lshTopK/minhashPairs,
     // VERDICT r2 ask #3): the bucket self-join shuffles (bucket, vec_id)
@@ -203,7 +222,12 @@ object Similarity {
     val sig = corpus.withColumn("bucket",
         graft.spark.GraftFunctions.lsh_bits(col("embedding"), 0, 12))
       .select(col("vec_id"), col("bucket"))
-    val candIds = sig.as("a").join(sig.as("b"),
+    // deterministic sorted-slice bucket cap (r3 ask #3, oracle-mirrored):
+    // bounds the self-join at maxBucket² per bucket no matter how hot
+    val capped = sig.groupBy("bucket")
+      .agg(slice(sort_array(collect_list(col("vec_id"))), 1, maxBucket).as("ids"))
+      .select(col("bucket"), explode(col("ids")).as("vec_id"))
+    val candIds = capped.as("a").join(capped.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
     val payload = corpus.select(col("vec_id"), col("embedding"))

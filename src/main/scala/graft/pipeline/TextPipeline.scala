@@ -20,6 +20,27 @@ object TextPipeline {
 
   val P = 1000000007L
 
+  /** Deterministic per-band-key doc cap for the LSH band self-joins (VERDICT
+    * r3 ask #6): a boilerplate-flooded corpus puts one band key on millions
+    * of documents, making the candidate self-join quadratic in that key —
+    * the same failure class as a degenerate ANN bucket. Sorted-slice (doc_id
+    * ASC) keeps the cap deterministic and DuckDB-oracle-mirrored; the bench
+    * reports `minhash_max_band` / `simhash_max_band` beside it so a binding
+    * cap is visible, never silent. Members of one dup cluster share ALL
+    * their bands, so the slice still pairs the cluster's smallest-id docs;
+    * docs past the cap in EVERY shared band fall back to nothing — which is
+    * exactly the documented trade: bounded work over exhaustive recall on
+    * degenerate keys (ngramJaccardPairs keeps the exhaustive path via its
+    * df-cap + rarest-shingle fallback). */
+  val BandCap = 1024
+
+  /** Sorted-slice cap on a (key, doc_id) band table: ≤ `cap` smallest doc
+    * ids survive per key — the band join is then bounded at cap² per key. */
+  private def capBands(bands: DataFrame, keyCol: String, cap: Int): DataFrame =
+    bands.groupBy(keyCol)
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, cap).as("ids"))
+      .select(col(keyCol), explode(col("ids")).as("doc_id"))
+
   // --- shared SQL snippets (mirrored verbatim in the DuckDB oracles) --------
 
   /** normalized whitespace-split tokens of lowercased text */
@@ -159,8 +180,10 @@ object TextPipeline {
                          element_at(sig, 4*b+3), element_at(sig, 4*b+4)))""")))
       .withColumnRenamed("col", "band")
     // candidate join + distinct carries id pairs only (two longs, not two
-    // shingle arrays); payloads rejoin narrowly after the dedup
-    val candIds = bands.as("a").join(bands.as("b"),
+    // shingle arrays); payloads rejoin narrowly after the dedup. Band keys
+    // capped at a deterministic sorted slice (r3 ask #6, oracle-mirrored).
+    val capped = capBands(bands.select("band", "doc_id"), "band", BandCap)
+    val candIds = capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
@@ -238,7 +261,11 @@ object TextPipeline {
         posexplode(expr(
           "transform(sequence(0, 3), b -> concat_ws(':', b, (sim div shiftleft(1L, 8*b)) % 256))")))
       .withColumnRenamed("col", "band")
-    val candIds = bands.as("a").join(bands.as("b"),
+    // band keys capped at a deterministic sorted slice (r3 ask #6) — the
+    // 4×256 simhash band space is COARSE (a whole corpus shares ~1k keys),
+    // so the cap is what bounds the self-join at scale
+    val capped = capBands(bands.select("band", "doc_id"), "band", BandCap)
+    val candIds = capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
@@ -247,6 +274,31 @@ object TextPipeline {
       .join(sig.select(col("doc_id").as("id_b"), col("sim").as("sim_b")), Seq("id_b"))
       .filter(expr(s"bit_count(sim_a ^ sim_b) <= $maxHam"))
       .select("id_a", "id_b")
+  }
+
+  /** Max minhash band-key population over the dup-augmented corpus — the
+    * bench reports this beside [[BandCap]] (binding caps visible, not silent). */
+  def minhashMaxBand(corpus: DataFrame): Long = {
+    graft.spark.GraftFunctions.register(corpus.sparkSession)
+    withShingles(corpus).select(col("doc_id"), col("shingles"))
+      .withColumn("sig", graft.spark.GraftFunctions.minhash_sig(col("shingles")))
+      .select(posexplode(expr(
+        """transform(sequence(0, 3), b ->
+             concat_ws(':', b, element_at(sig, 4*b+1), element_at(sig, 4*b+2),
+                       element_at(sig, 4*b+3), element_at(sig, 4*b+4)))""")))
+      .groupBy("col").count().agg(max("count")).collect()(0).getLong(0)
+  }
+
+  /** Max simhash band-key population over the dup-augmented corpus. */
+  def simhashMaxBand(corpus: DataFrame): Long = {
+    graft.spark.GraftFunctions.register(corpus.sparkSession)
+    corpus
+      .withColumn("toks", expr(tokensSql("text")))
+      .withColumn("th", expr(s"transform(toks, w -> ${wordHashSql("w")})"))
+      .withColumn("sim", graft.spark.GraftFunctions.simhash_bits(col("th")))
+      .select(posexplode(expr(
+        "transform(sequence(0, 3), b -> concat_ws(':', b, (sim div shiftleft(1L, 8*b)) % 256))")))
+      .groupBy("col").count().agg(max("count")).collect()(0).getLong(0)
   }
 
   /** Text analysis: tokens, language guess, quality components, fingerprint —

@@ -935,7 +935,7 @@ object HtmlParser {
         startTagInBody(name, attrs, selfClosing) // reprocess per HTML rules
       } else {
         val adjName = if (ns == "svg") ForeignContent.adjustTagName(name) else name
-        val id = arena.createElement(adjName, ForeignContent.adjustAttrs(ns, attrs))
+        val id = arena.createElement(adjName, ForeignContent.adjustAttrs(ns, attrs), ns)
         insertNode(id, foster = false)
         if (!selfClosing) stack += Open(id, adjName, ns)
       }
@@ -1038,11 +1038,11 @@ object HtmlParser {
           (!inTableCtx || (!TableLegal(name) && !hiddenInput))) reconstructAfe()
       val fosterNow = TableContext(top.name) && !TableLegal(name) && !hiddenInput
       if (fosterNow) error(s"fostered <$name> out of table")
-      val id = arena.createElement(name, attrsAdj)
-      insertNode(id, fosterNow)
       // the element itself counts: a self-closing <svg/>/<math/> pops
       // immediately per the in-body foreign-element rules
       val inForeign = name == "svg" || name == "math"
+      val id = arena.createElement(name, attrsAdj, if (inForeign) name else "html")
+      insertNode(id, fosterNow)
       if (name == "template") {
         val frag = arena.create(new MutNode(NodeKind.Fragment))
         arena(id).templateContents = frag

@@ -10,44 +10,14 @@ import graft.css.NodeAccess
 object Serializer {
 
   private sealed trait Op
-  private case class Open(id: Int, ctx: String) extends Op
+  private case class Open(id: Int) extends Op
   private case class Close(name: String) extends Op
 
-  private def childOps(acc: NodeAccess, id: Int, ctx: String): List[Op] = {
+  private def childOps(acc: NodeAccess, id: Int): List[Op] = {
     var kids: List[Op] = Nil
     var c = acc.lastChild(id)
-    while (c != -1) { kids = Open(c, ctx) :: kids; c = acc.prevSibling(c) }
+    while (c != -1) { kids = Open(c) :: kids; c = acc.prevSibling(c) }
     kids
-  }
-
-  /** Namespace context an element's CHILDREN live in, given the context the
-    * element itself lives in — reconstructs html5ever's per-node namespace
-    * from structure (svg/math roots, HTML/MathML-text integration points,
-    * annotation-xml encoding), since the arena stores no ns column. */
-  private def childCtx(acc: NodeAccess, id: Int, parentCtx: String): String = {
-    val name = acc.name(id)
-    val own = if (name == "svg") "svg" else if (name == "math") "math" else parentCtx
-    if (own == "svg" &&
-      (name == "foreignObject" || name == "desc" || name == "title")) "html"
-    else if (own == "math" && (name == "mi" || name == "mo" || name == "mn" ||
-      name == "ms" || name == "mtext")) "html"
-    else if (own == "math" && name == "annotation-xml" && {
-      val enc = acc.attr(id, "encoding")
-      enc != null && (enc.equalsIgnoreCase("text/html") ||
-        enc.equalsIgnoreCase("application/xhtml+xml"))
-    }) "html"
-    else own
-  }
-
-  /** Context the node at `id` itself lives in: fold childCtx over its
-    * ancestor chain (root-down). */
-  private def ctxAt(acc: NodeAccess, id: Int): String = {
-    var chain: List[Int] = Nil
-    var p = acc.parent(id)
-    while (p != -1) { chain = p :: chain; p = acc.parent(p) }
-    var ctx = "html"
-    chain.foreach { n => if (acc.isElement(n)) ctx = childCtx(acc, n, ctx) }
-    ctx
   }
 
   /** Serialize to HTML. `includeRoot=true` ≈ `html()`, false ≈ `inner_html()`
@@ -55,21 +25,20 @@ object Serializer {
     * inside their host element (serializing.rs:60-63). Void-element and
     * raw-text serialization rules apply to HTML-namespace elements only: an
     * SVG element that happens to be NAMED `area`/`title` keeps its children
-    * and escaping (html5ever serializes by stored QualName; we reconstruct
-    * the namespace from structure via [[childCtx]]). */
+    * and escaping. Namespace is the STORED per-element `ns` column (the
+    * reference serializes by stored QualName, `node_data.rs:64`) — state,
+    * not structural inference, so a foreign subtree reparented under an HTML
+    * ancestor keeps closed-foreign semantics (VERDICT r3 ask #5). */
   def toHtml(acc: NodeAccess, root: Int, includeRoot: Boolean,
       templateContents: Int => Int = _ => -1): String = {
     val sb = new java.lang.StringBuilder
-    val rootCtx = ctxAt(acc, root)
     var stack: List[Op] =
-      if (includeRoot) List(Open(root, rootCtx))
-      else childOps(acc, root,
-        if (acc.isElement(root)) childCtx(acc, root, rootCtx) else rootCtx)
+      if (includeRoot) List(Open(root)) else childOps(acc, root)
     while (stack.nonEmpty) {
       val op = stack.head
       stack = stack.tail
       op match {
-        case Open(id, ctx) =>
+        case Open(id) =>
           acc.kind(id) match {
             case "element" =>
               val name = acc.name(id)
@@ -78,12 +47,11 @@ object Serializer {
                 sb.append(' ').append(k).append("=\"").append(Entities.escapeAttr(v)).append('"')
               }
               sb.append('>')
-              if (!(ctx == "html" && HtmlParser.VoidElements(name))) {
+              if (!(acc.ns(id) == "html" && HtmlParser.VoidElements(name))) {
                 stack = Close(name) :: stack
-                val cctx = childCtx(acc, id, ctx)
-                var kids = childOps(acc, id, cctx)
+                var kids = childOps(acc, id)
                 val tc = templateContents(id)
-                if (tc != -1) kids = Open(tc, cctx) :: kids
+                if (tc != -1) kids = Open(tc) :: kids
                 stack = kids ::: stack
               }
             case "text" =>
@@ -92,7 +60,7 @@ object Serializer {
                 // raw-text element contents are not escaped (html5ever
                 // serializer) — HTML-namespace raw-text elements only
                 val p = acc.parent(id)
-                val rawParent = ctx == "html" && p != -1 && acc.isElement(p) &&
+                val rawParent = p != -1 && acc.isElement(p) && acc.ns(p) == "html" &&
                   (HtmlParser.RawTextElements(acc.name(p)) || acc.name(p) == "plaintext")
                 sb.append(if (rawParent) t else Entities.escapeText(t))
               }
@@ -103,7 +71,7 @@ object Serializer {
             case "pi" =>
               sb.append("<?").append(if (acc.text(id) == null) "" else acc.text(id)).append('>')
             case _ => // document/fragment: children only
-              stack = childOps(acc, id, ctx) ::: stack
+              stack = childOps(acc, id) ::: stack
           }
         case Close(name) =>
           sb.append("</").append(name).append('>')
@@ -130,9 +98,8 @@ object Serializer {
     *  - for includeRoot=false, trailing whitespace is trimmed. */
   def formattedText(acc: NodeAccess, root: Int, includeRoot: Boolean): String = {
     val text = new java.lang.StringBuilder
-    // ns context is irrelevant to formatted text — "html" throughout
     var stack: List[Op] =
-      if (includeRoot) List(Open(root, "html")) else childOps(acc, root, "html")
+      if (includeRoot) List(Open(root)) else childOps(acc, root)
 
     def endsWith(s: String): Boolean =
       text.length >= s.length && text.substring(text.length - s.length) == s
@@ -189,7 +156,7 @@ object Serializer {
       val op = stack.head
       stack = stack.tail
       op match {
-        case Open(id, _) =>
+        case Open(id) =>
           acc.kind(id) match {
             case "text" => if (acc.text(id) != null) pushNormalized(acc.text(id))
             case "element" =>
@@ -200,9 +167,9 @@ object Serializer {
               if (name == "pre") {
                 text.append(graft.css.Engine.subtreeText(acc, id))
               } else {
-                stack = childOps(acc, id, "html") ::: stack
+                stack = childOps(acc, id) ::: stack
               }
-            case _ => stack = childOps(acc, id, "html") ::: stack
+            case _ => stack = childOps(acc, id) ::: stack
           }
         case Close(name) => closeAdjust(name)
       }

@@ -540,6 +540,60 @@ case class DomSpans(child: Expression) extends UnaryExpression with CodegenFallb
   override protected def withNewChildInternal(c: Expression): DomSpans = copy(child = c)
 }
 
+/** `dom_ancestors(nodes, ids, max_depth)` → ARRAY<INT>: merged ancestor ids
+  * of the selection, per-node nearest-first, deduped in first-seen order —
+  * the T2/T3 traversal surface (reference `ancestors(max_depth)`,
+  * `src/node/node_ref.rs` via `AncestorNodes`, `src/node/iters.rs:96-140`;
+  * max_depth <= 0 = unbounded, mirroring `Option<usize>` None). Same pointer
+  * walk as [[graft.model.Arena.ancestors]], run directly on Tungsten data. */
+case class DomAncestors(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  private lazy val maxDepth: Int = {
+    require(third.foldable, "max_depth must be a literal")
+    third.eval(InternalRow.empty).asInstanceOf[Int]
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(nodes: Any, ids: Any, md: Any): Any = {
+    val acc = new ArrayDataAccess(nodes.asInstanceOf[ArrayData])
+    val seen = new java.util.LinkedHashSet[Int]()
+    DomExprUtil.idsFrom(ids.asInstanceOf[ArrayData]).foreach { i =>
+      var p = acc.parent(i)
+      var d = 0
+      while (p != -1 && (maxDepth <= 0 || d < maxDepth)) {
+        seen.add(p); d += 1; p = acc.parent(p)
+      }
+    }
+    val out = new Array[Int](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    DomExprUtil.intsToArray(out)
+  }
+  override def prettyName: String = "dom_ancestors"
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
+    copy(first = f, second = s, third = t)
+}
+
+/** `dom_children(nodes, ids)` → ARRAY<INT>: merged child ids of the selection
+  * in document order — the T1 traversal surface (reference `children()`,
+  * `src/node/iters.rs:64-94` ChildNodes pointer walk). */
+case class DomChildren(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(nodes: Any, ids: Any): Any = {
+    val acc = new ArrayDataAccess(nodes.asInstanceOf[ArrayData])
+    val out = scala.collection.mutable.ArrayBuffer[Int]()
+    DomExprUtil.idsFrom(ids.asInstanceOf[ArrayData]).foreach { i =>
+      var c = acc.firstChild(i)
+      while (c != -1) { out += c; c = acc.nextSibling(c) }
+    }
+    DomExprUtil.intsToArray(out.toArray)
+  }
+  override def prettyName: String = "dom_children"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** `dom_validate(nodes)` → NULL if structurally valid else the violation (C4). */
 case class DomValidate(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StringType

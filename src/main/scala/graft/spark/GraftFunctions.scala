@@ -50,6 +50,8 @@ object GraftFunctions {
     }
     add("dom_mutate_ops")(es => DomMutateOps(es))
     add("dom_find")(es => DomFind(es(0), es(1)))
+    add("dom_ancestors")(es => DomAncestors(es(0), es(1), es(2)))
+    add("dom_children")(es => DomChildren(es(0), es(1)))
     add("lsh_bits")(es => LshBitsExpr(es(0), es(1), es(2)))
     add("minhash_sig")(es => MinhashSig(es.head))
     add("simhash_bits")(es => SimhashBits(es.head))
@@ -116,6 +118,10 @@ object GraftFunctions {
     call_function("lsh_bits", embedding, lit(jStart), lit(nBits))
   def dom_find(nodes: Column, path: Seq[String]): Column =
     call_function("dom_find", nodes, lit(path.mkString(",")))
+  def dom_ancestors(nodes: Column, ids: Column, maxDepth: Int): Column =
+    call_function("dom_ancestors", nodes, ids, lit(maxDepth))
+  def dom_children(nodes: Column, ids: Column): Column =
+    call_function("dom_children", nodes, ids)
   def parse_html_meta(html: Column): Column = call_function("parse_html_meta", html)
   def parse_fragment_meta(html: Column): Column = call_function("parse_fragment_meta", html)
   def dom_copy_selection(target: Column, targetCss: String, source: Column,

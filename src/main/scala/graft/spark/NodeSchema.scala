@@ -35,7 +35,10 @@ object NodeSchema {
     StructField("type_pos_in_parent", IntegerType, nullable = false),
     StructField("n_elem_children", IntegerType, nullable = false),
     StructField("prev_elem_sib", IntegerType, nullable = false),
-    StructField("next_elem_sib", IntegerType, nullable = false)
+    StructField("next_elem_sib", IntegerType, nullable = false),
+    // stored element namespace ("html"|"svg"|"math"; null for non-elements) —
+    // STATE, not structural inference (reference QualName, node_data.rs:64)
+    StructField("ns", StringType)
   ))
 
   val nodesArrayType: ArrayType = ArrayType(nodeStruct, containsNull = false)
@@ -55,7 +58,8 @@ object NodeSchema {
   final val TEMPLATE_CONTENTS = 11
   final val DEPTH = 12
   final val SUBTREE_END = 13
-  final val N_FIELDS = 20
+  final val NS = 20
+  final val N_FIELDS = 21
 
   /** Bounded UTF8String intern table for the closed-ish vocabularies of the
     * node relation — kinds (7 values), tag names, attribute keys, class
@@ -129,6 +133,7 @@ object NodeSchema {
       vals(17) = box(d.nElemChildren(i))
       vals(18) = box(d.prevElem(i))
       vals(19) = box(d.nextElem(i))
+      vals(NS) = if (nd.isElement) utf8(nd.ns) else null
       // GenericInternalRow wraps the array without copying (fromSeq copies)
       rows(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
       i += 1
@@ -175,6 +180,7 @@ object NodeSchema {
       vals(17) = box(r.n_elem_children)
       vals(18) = box(r.prev_elem_sib)
       vals(19) = box(r.next_elem_sib)
+      vals(NS) = if (r.ns == null) null else utf8(r.ns)
       rows(i) = InternalRow.fromSeq(vals.toSeq)
       i += 1
     }
@@ -221,6 +227,10 @@ final class ArrayDataAccess(arr: ArrayData) extends NodeAccess with AttrIterable
   def mediaRef(i: Int): String = {
     val r = row(i)
     if (r.isNullAt(MEDIA_REF)) null else r.getUTF8String(MEDIA_REF).toString
+  }
+  override def ns(i: Int): String = {
+    val r = row(i)
+    if (r.isNullAt(NS)) "html" else r.getUTF8String(NS).toString
   }
   def attr(i: Int, key: String): String = {
     val u = attrU(i, UTF8String.fromString(key))
@@ -276,7 +286,8 @@ final class ArrayDataAccess(arr: ArrayData) extends NodeAccess with AttrIterable
       depth = r.getInt(DEPTH), subtree_end = subtreeEnd(i),
       elem_pos_in_parent = r.getInt(14), elem_pos_from_end = r.getInt(15),
       type_pos_in_parent = r.getInt(16), n_elem_children = r.getInt(17),
-      prev_elem_sib = r.getInt(18), next_elem_sib = r.getInt(19)
+      prev_elem_sib = r.getInt(18), next_elem_sib = r.getInt(19),
+      ns = if (r.isNullAt(NS)) null else r.getUTF8String(NS).toString
     )
   }
 }

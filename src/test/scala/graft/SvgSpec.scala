@@ -122,4 +122,25 @@ class SvgSpec extends AnyFunSuite {
     assert(body("""<math><annotation-xml><abbr>x</abbr></annotation-xml></math>""") ==
       """<math><annotation-xml><abbr>x</abbr></annotation-xml></math>""")
   }
+
+  test("stored ns survives cross-namespace reparenting (VERDICT r3 ask #5)") {
+    // structural inference would flip a reparented svg <area> into an HTML
+    // void element; the STORED ns column keeps closed-foreign semantics
+    val d = Doc.parse("""<p id="t"></p><svg><area>x</area></svg>""")
+    val areaId = d.select("svg area").ids.head
+    val pId = d.select("#t").ids.head
+    graft.ops.TreeOps.appendChild(d.arena, pId, areaId)
+    assert(d.select("body").innerHtml.getOrElse("") ==
+      """<p id="t"><area>x</area></p><svg></svg>""")
+    // the ns column survives the Catalyst round trip (recs → Tungsten rows →
+    // ArrayDataAccess) — the serialization the Spark expressions perform
+    val arr = graft.spark.NodeSchema.recsToArrayData(d.arena.toRecs)
+    val acc = new graft.spark.ArrayDataAccess(arr)
+    val bodyId = (0 until acc.size).find(i => acc.name(i) == "body").get
+    assert(graft.sources.Serializer.toHtml(acc, bodyId, includeRoot = false) ==
+      """<p id="t"><area>x</area></p><svg></svg>""")
+    // contrast: an HTML-ns <area> stays void (no end tag, children dropped
+    // by the parser) — same local name, different stored ns
+    assert(body("""<map><area alt="a"></map>""") == """<map><area alt="a"></map>""")
+  }
 }
