@@ -301,30 +301,42 @@ object TextPipeline {
       .groupBy("col").count().agg(max("count")).collect()(0).getLong(0)
   }
 
-  /** Text analysis: tokens, language guess, quality components, fingerprint —
-    * one narrow projection, fully codegen. */
-  def textAnalysis(docs: DataFrame): DataFrame = {
-    graft.spark.GraftFunctions.register(docs.sparkSession)
-    val scores = langMarkers.map { case (lang, markers) =>
-      (lang, langScoreSql("toks", markers))
-    }
-    // argmax with lang-code-ascending tie-break: first lang (asc) whose score
-    // equals the max — a CASE chain both engines express identically
-    val maxScore = scores.map(_._2).mkString("greatest(", ", ", ")")
-    val langGuess = scores.map { case (l, s) =>
+  /** The documented lang-ID HOF SQL: argmax with lang-code-ascending
+    * tie-break — first lang (asc) whose score equals the max, a CASE chain
+    * both engines express identically. The engine runs the native
+    * [[graft.spark.TextLangStats]] one-pass equivalent (PipelineSpec
+    * differential); this form stays as the spec + the DuckDB oracle shape. */
+  def langGuessSql(toks: String): String = {
+    val scores = langMarkers.map { case (_, markers) => langScoreSql(toks, markers) }
+    val maxScore = scores.mkString("greatest(", ", ", ")")
+    langMarkers.map(_._1).zip(scores).map { case (l, s) =>
       s"WHEN $s >= $maxScore THEN '$l'"
     }.mkString("CASE ", " ", " END")
+  }
+
+  /** Stopword-count HOF SQL over the union marker set (spec/oracle shape). */
+  def stopwordCountSql(toks: String): String = {
     val stop = langMarkers.flatMap(_._2).distinct.map(m => s"'$m'")
       .mkString("array(", ", ", ")")
+    s"size(filter($toks, w -> array_contains($stop, w)))"
+  }
+
+  /** Text analysis: tokens, language guess, quality components, fingerprint —
+    * one narrow projection, fully codegen. Lang-ID + stopword count run as
+    * ONE native token pass (`text_lang_stats`): the HOF CASE chain evaluated
+    * ~30 interpreted `filter` passes per row — the dominant term of this
+    * query's wall time (r3 ask #1; TAProf decomposition in BASELINE.md). */
+  def textAnalysis(docs: DataFrame): DataFrame = {
+    graft.spark.GraftFunctions.register(docs.sparkSession)
     docs
       .withColumn("toks", expr(tokensSql("text"))) // materialize once per row
+      .withColumn("ls", graft.spark.GraftFunctions.text_lang_stats(col("toks")))
       .select(
         col("doc_id"),
         expr("size(toks)").cast("long").as("n_tokens"),
         expr(s"length(regexp_replace(trim(text), '\\\\s+', ' '))").cast("long").as("n_chars_norm"),
-        expr(langGuess).as("lang_guess"),
-        expr(s"size(filter(toks, w -> array_contains($stop, w)))")
-          .cast("long").as("n_stopwords"),
+        col("ls.lang_guess").as("lang_guess"),
+        col("ls.n_stopwords").as("n_stopwords"),
         expr("""CASE WHEN size(toks) = 0 THEN 0
                 ELSE (size(filter(toks, w -> length(w) >= 4)) * 100) div size(toks) END""")
           .cast("long").as("long_word_pct"),

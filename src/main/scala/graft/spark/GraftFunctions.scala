@@ -56,6 +56,7 @@ object GraftFunctions {
     add("minhash_sig")(es => MinhashSig(es.head))
     add("simhash_bits")(es => SimhashBits(es.head))
     add("norm_fingerprint")(es => NormFingerprint(es.head))
+    add("text_lang_stats")(es => TextLangStats(es.head))
     add("parse_html_meta")(es => ParseHtmlMeta(es.head, fragment = false))
     add("parse_fragment_meta")(es => ParseHtmlMeta(es.head, fragment = true))
     add("dom_copy_selection")(es => DomCopySelection(es))
@@ -114,6 +115,7 @@ object GraftFunctions {
   def minhash_sig(shingles: Column): Column = call_function("minhash_sig", shingles)
   def simhash_bits(tokenHashes: Column): Column = call_function("simhash_bits", tokenHashes)
   def norm_fingerprint(text: Column): Column = call_function("norm_fingerprint", text)
+  def text_lang_stats(toks: Column): Column = call_function("text_lang_stats", toks)
   def lsh_bits(embedding: Column, jStart: Int, nBits: Int): Column =
     call_function("lsh_bits", embedding, lit(jStart), lit(nBits))
   def dom_find(nodes: Column, path: Seq[String]): Column =

@@ -44,6 +44,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(diff == 0L)
   }
 
+  test("native text_lang_stats equals the documented CASE-chain + filter HOFs") {
+    graft.spark.GraftFunctions.register(spark)
+    import spark.implicits._
+    // corpus rows plus adversarial shapes: empty text (one "" token), pure
+    // stopwords, ties between languages (la: es+fr; de/la mixes)
+    val extra = Seq("", "the the der der", "la la", "de la", "zzz qqq",
+      "el le the der de5").toDF("text")
+    val texts = TextPipeline.documents(spark, sf).select("text").unionByName(extra)
+    val diff = texts
+      .withColumn("toks", expr(TextPipeline.tokensSql("text")))
+      .withColumn("ls", graft.spark.GraftFunctions.text_lang_stats(col("toks")))
+      .withColumn("lg", expr(TextPipeline.langGuessSql("toks")))
+      .withColumn("ns", expr(TextPipeline.stopwordCountSql("toks")).cast("long"))
+      .filter(expr("ls.lang_guess IS DISTINCT FROM lg OR ls.n_stopwords IS DISTINCT FROM ns"))
+      .count()
+    assert(diff == 0L)
+  }
+
   test("native norm_fingerprint equals the documented SQL-HOF fold") {
     graft.spark.GraftFunctions.register(spark)
     import spark.implicits._
