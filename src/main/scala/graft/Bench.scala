@@ -266,7 +266,10 @@ object Bench {
     val ns = Seq(2, 8, 32)
     val passes = scala.collection.mutable.Map[Int, Vector[Pass]]()
       .withDefaultValue(Vector())
-    for (pass <- 1 to 2; n <- ns) {
+    // 3 base passes per N (r4: a 2-pass local[2] block spent 80 s exposed to
+    // host drift and one bad window cost the efficiency cell; the third
+    // interleaved pass adds ~60 s against the ≤20 min budget)
+    for (pass <- 1 to 3; n <- ns) {
       passes(n) = passes(n) :+ oneRun(n, warm = pass == 1 && n == ns.head)
     }
     // quiet-window extension: bounded, conditioned on calibration only
