@@ -249,58 +249,95 @@ final class Arena {
 
     // depth + subtree_end over every attached tree (root 0 plus any template
     // fragments referenced via templateContents; detached nodes keep -1).
-    // Single iterative DFS; subtree_end folded bottom-up in reverse preorder.
+    // Flat int-array DFS (no List/tuple allocation — this pass runs once per
+    // parsed document and was ~30% of the ingest-conversion profile): depth
+    // comes from the parent's already-filled slot, subtree_end folds
+    // bottom-up over the recorded preorder.
+    val order = new Array[Int](n)
+    val stack = new Array[Int](n)
     def walk(rootId: Int, rootDepth: Int): Unit = {
-      var stack: List[(Int, Int)] = List((rootId, rootDepth))
-      val order = mutable.ArrayBuffer[Int]()
-      while (stack.nonEmpty) {
-        val (id, d) = stack.head
-        stack = stack.tail
-        depth(id) = d
-        order += id
-        var c = nodes(id).firstChild
-        var kids: List[(Int, Int)] = Nil
-        while (c != -1) { kids = (c, d + 1) :: kids; c = nodes(c).next }
-        stack = kids reverse_::: stack
+      var top = 0
+      var len = 0
+      stack(top) = rootId
+      top += 1
+      depth(rootId) = rootDepth
+      while (top > 0) {
+        top -= 1
+        val id = stack(top)
+        order(len) = id
+        len += 1
+        // push children in reverse so leftmost pops first
+        var c = nodes(id).lastChild
+        val dd = depth(id) + 1
+        while (c != -1) {
+          depth(c) = dd
+          stack(top) = c
+          top += 1
+          c = nodes(c).prev
+        }
       }
       // reverse preorder: children are processed before their parent
-      order.reverseIterator.foreach { id =>
+      var i = len - 1
+      while (i >= 0) {
+        val id = order(i)
         var m = id
         var c = nodes(id).firstChild
-        while (c != -1) { m = math.max(m, subtreeEnd(c)); c = nodes(c).next }
+        while (c != -1) {
+          if (subtreeEnd(c) > m) m = subtreeEnd(c)
+          c = nodes(c).next
+        }
         subtreeEnd(id) = m
+        i -= 1
       }
     }
     if (n > 0) walk(0, 0)
     // template contents subtrees
-    (0 until n).foreach { i =>
-      val tc = nodes(i).templateContents
-      if (tc != -1 && depth.lift(tc).contains(-1)) walk(tc, 0)
+    var ti = 0
+    while (ti < n) {
+      val tc = nodes(ti).templateContents
+      if (tc != -1 && depth(tc) == -1) walk(tc, 0)
+      ti += 1
     }
 
-    // sibling positions
-    (0 until n).foreach { p =>
-      val kids = childIds(p)
-      val elemKids = kids.filter(nodes(_).isElement)
-      nElemChildren(p) = elemKids.length
+    // sibling positions: one firstChild/next pointer walk per parent, no
+    // intermediate Lists. type_pos uses ONE arena-wide versioned count map
+    // (version = parent id) — O(1) per element with zero per-parent
+    // allocation or clear, and no quadratic blowup on wide fan-outs (a
+    // 10k-link list is a normal crawled page).
+    val typeCount = new java.util.HashMap[String, Array[Int]]()
+    var p = 0
+    while (p < n) {
       var lastElem = -1
-      kids.foreach { k =>
-        if (nodes(k).isElement) {
-          if (lastElem != -1) { prevElem(k) = lastElem; nextElem(lastElem) = k }
-          lastElem = k
+      var nElems = 0
+      var c = nodes(p).firstChild
+      while (c != -1) {
+        if (nodes(c).isElement) {
+          if (lastElem != -1) { prevElem(c) = lastElem; nextElem(lastElem) = c }
+          lastElem = c
+          nElems += 1
+          elemPos(c) = nElems
+          val e = typeCount.get(nodes(c).name)
+          if (e == null) {
+            typeCount.put(nodes(c).name, Array(p, 1))
+            typePos(c) = 1
+          } else if (e(0) != p) {
+            e(0) = p; e(1) = 1
+            typePos(c) = 1
+          } else {
+            e(1) += 1
+            typePos(c) = e(1)
+          }
         }
+        c = nodes(c).next
       }
-      elemKids.zipWithIndex.foreach { case (k, i) =>
-        elemPos(k) = i + 1
-        elemPosEnd(k) = elemKids.length - i
+      nElemChildren(p) = nElems
+      // elem_pos_from_end from the now-known total
+      var e = lastElem
+      while (e != -1) {
+        elemPosEnd(e) = nElems - elemPos(e) + 1
+        e = prevElem(e)
       }
-      val byType = mutable.HashMap[String, Int]()
-      elemKids.foreach { k =>
-        val t = nodes(k).name
-        val c = byType.getOrElse(t, 0) + 1
-        byType(t) = c
-        typePos(k) = c
-      }
+      p += 1
     }
     d
   }

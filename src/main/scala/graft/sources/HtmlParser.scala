@@ -283,16 +283,31 @@ object HtmlParser {
     TDoctype(name, publicId, systemId)
   }
 
+  /** Lowercase a scanned slice; substring-only when already lowercase (the
+    * common case — per-char StringBuilder+toLowerCase appends were a top
+    * tokenizer leaf in the parse profile). */
+  private def lowerSlice(html: String, from: Int, until: Int, anyUpper: Boolean): String = {
+    if (!anyUpper) return html.substring(from, until)
+    val sb = new java.lang.StringBuilder(until - from)
+    var i = from
+    while (i < until) { sb.append(Character.toLowerCase(html.charAt(i))); i += 1 }
+    sb.toString
+  }
+
   private def parseStartTag(html: String, start: Int): (TStart, Int, Boolean) = {
     val n = html.length
     var i = start + 1
-    val nameSb = new java.lang.StringBuilder
-    while (i < n && !Character.isWhitespace(html.charAt(i)) && html.charAt(i) != '>' && html.charAt(i) != '/') {
-      nameSb.append(Character.toLowerCase(html.charAt(i))); i += 1
+    val n0 = i
+    var anyUpper = false
+    while (i < n && {
+      val ch = html.charAt(i)
+      !Character.isWhitespace(ch) && ch != '>' && ch != '/'
+    }) {
+      if (Character.toLowerCase(html.charAt(i)) != html.charAt(i)) anyUpper = true
+      i += 1
     }
-    val name = nameSb.toString
+    val name = lowerSlice(html, n0, i, anyUpper)
     val attrs = mutable.ListBuffer[(String, String)]()
-    val seen = mutable.HashSet[String]()
     var selfClosing = false
     var closed = false
     var done = false
@@ -305,12 +320,16 @@ object HtmlParser {
           i += 1
           if (i < n && html.charAt(i) == '>') { selfClosing = true; i += 1; done = true; closed = true }
         case _ =>
-          val kSb = new java.lang.StringBuilder
-          while (i < n && !Character.isWhitespace(html.charAt(i)) &&
-                 html.charAt(i) != '=' && html.charAt(i) != '>' && html.charAt(i) != '/') {
-            kSb.append(Character.toLowerCase(html.charAt(i))); i += 1
+          val k0 = i
+          var kUpper = false
+          while (i < n && {
+            val ch = html.charAt(i)
+            !Character.isWhitespace(ch) && ch != '=' && ch != '>' && ch != '/'
+          }) {
+            if (Character.toLowerCase(html.charAt(i)) != html.charAt(i)) kUpper = true
+            i += 1
           }
-          val key = kSb.toString
+          val key = lowerSlice(html, k0, i, kUpper)
           while (i < n && Character.isWhitespace(html.charAt(i))) i += 1
           var value = ""
           if (i < n && html.charAt(i) == '=') {
@@ -325,15 +344,15 @@ object HtmlParser {
                 value = Entities.decode(html.substring(i, stop), inAttr = true)
                 i = if (e == -1) n else e + 1
               } else {
-                val vSb = new java.lang.StringBuilder
-                while (i < n && !Character.isWhitespace(html.charAt(i)) && html.charAt(i) != '>') {
-                  vSb.append(html.charAt(i)); i += 1
-                }
-                value = Entities.decode(vSb.toString, inAttr = true)
+                val v0 = i
+                while (i < n && !Character.isWhitespace(html.charAt(i)) && html.charAt(i) != '>') i += 1
+                value = Entities.decode(html.substring(v0, i), inAttr = true)
               }
             }
           }
-          if (key.nonEmpty && !seen(key)) { seen += key; attrs += (key -> value) }
+          // duplicate attrs: first wins (linear probe — tags carry few attrs;
+          // a per-tag HashSet allocation showed in the parse profile)
+          if (key.nonEmpty && !attrs.exists(_._1 == key)) attrs += (key -> value)
       }
     }
     (TStart(name, attrs.toList, selfClosing), i, closed)
@@ -370,6 +389,12 @@ object HtmlParser {
 
   private val TableScopeStops: Set[String] =
     Set("html", "table", "template", "#root", "#fragment-html")
+
+  // precomputed scope variants — building these per inButtonScope/inListScope
+  // CALL was the top leaf of the tree-builder profile (a Set union per
+  // start tag: closeImplied probes button scope for every ClosesP tag)
+  private val ButtonScopeStops: Set[String] = BaseScopeStops + "button"
+  private val ListScopeStops: Set[String] = BaseScopeStops ++ Set("ol", "ul")
 
   /** AFE marker elements: entering one pushes a marker; popping one clears
     * the active formatting list back to the marker. */
@@ -528,8 +553,8 @@ object HtmlParser {
       }
       false
     }
-    private def inButtonScope(name: String) = inScope(name, BaseScopeStops + "button")
-    private def inListScope(name: String) = inScope(name, BaseScopeStops ++ Set("ol", "ul"))
+    private def inButtonScope(name: String) = inScope(name, ButtonScopeStops)
+    private def inListScope(name: String) = inScope(name, ListScopeStops)
     private def inTableScope(name: String) = inScope(name, TableScopeStops)
     private def idInScope(id: Int): Boolean = {
       var i = stack.length - 1
