@@ -102,8 +102,26 @@ final class MutNode(
   def attr(key: String): Option[String] =
     if (attrs == null) None else attrs.get(key)
 
-  def classList: Seq[String] =
-    attr("class").map(_.split("[ \t\n\r]+").filter(_.nonEmpty).toSeq).getOrElse(Nil)
+  def classList: Seq[String] = {
+    // manual ASCII-whitespace split (space \t \n \r \f, the HTML spec set) -
+    // String.split(regex) compiled a Pattern per ELEMENT here (a top leaf of
+    // the ingest-conversion profile)
+    val s = if (attrs == null) null else attrs.getOrElse("class", null)
+    if (s == null) return Nil
+    var out: List[String] = Nil
+    var i = s.length - 1
+    var end = -1
+    while (i >= 0) {
+      val c = s.charAt(i)
+      val ws = c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+      if (ws) {
+        if (end != -1) { out = s.substring(i + 1, end) :: out; end = -1 }
+      } else if (end == -1) end = i + 1
+      i -= 1
+    }
+    if (end != -1) out = s.substring(0, end) :: out
+    out
+  }
 
   def deepCopyShallow(): MutNode = {
     val n = new MutNode(kind, name, text, mediaRef)
