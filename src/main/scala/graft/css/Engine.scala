@@ -461,7 +461,7 @@ object Engine {
     // `|=` compare empty strings ([k=""] matches <input k="">); the
     // substring-family operators never match an empty selector value
     case AEquals => ev == v
-    case AIncludes => v.nonEmpty && ev.split("[ \t\n\r\f]+").exists(_ == v)
+    case AIncludes => v.nonEmpty && graft.model.AsciiWs.containsToken(ev, v)
     case ADashMatch => ev == v || (ev.startsWith(v) && ev.length > v.length && ev.charAt(v.length) == '-')
     case APrefix => v.nonEmpty && ev.startsWith(v)
     case ASuffix => v.nonEmpty && ev.endsWith(v)

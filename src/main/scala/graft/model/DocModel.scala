@@ -65,6 +65,51 @@ case class Span(kind: String, text: String, media_ref: String, offset: Int)
 /** The canonical input-table row: `docs(doc_id, spans)`. */
 case class DocRow(doc_id: String, spans: Seq[Span])
 
+/** Allocation-conscious ASCII-whitespace (space \t \n \r \f — the HTML spec
+  * set) string utilities shared by class-list handling and `[attr~=]`
+  * matching; `String.split(regex)` compiles a Pattern per call. */
+object AsciiWs {
+  @inline def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+
+  /** Non-empty whitespace-separated tokens. */
+  def split(s: String): Array[String] = {
+    var count = 0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && isWs(s.charAt(i))) i += 1
+      if (i < n) { count += 1; while (i < n && !isWs(s.charAt(i))) i += 1 }
+    }
+    val out = new Array[String](count)
+    var k = 0
+    i = 0
+    while (i < n) {
+      while (i < n && isWs(s.charAt(i))) i += 1
+      val j = i
+      while (i < n && !isWs(s.charAt(i))) i += 1
+      if (i > j) { out(k) = s.substring(j, i); k += 1 }
+    }
+    out
+  }
+
+  /** Does any whitespace-separated token of `s` equal `tok`? (the `[attr~=]`
+    * / has-class test without materializing the token array) */
+  def containsToken(s: String, tok: String): Boolean = {
+    if (tok.isEmpty) return false
+    val n = s.length
+    val m = tok.length
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(s.charAt(i))) i += 1
+      val j = i
+      while (i < n && !isWs(s.charAt(i))) i += 1
+      if (i - j == m && s.regionMatches(j, tok, 0, m)) return true
+    }
+    false
+  }
+}
+
 object NodeKind {
   val Document = "document"
   val Fragment = "fragment"

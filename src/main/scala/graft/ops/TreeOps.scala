@@ -333,7 +333,7 @@ object TreeOps {
   def addClass(a: Arena, id: Int, classes: String): Unit = {
     val n = a(id)
     if (!n.isElement) return
-    val incoming = classes.split("[ \t\n\r\f]+").filter(_.nonEmpty)
+    val incoming = graft.model.AsciiWs.split(classes)
     if (incoming.isEmpty) return // empty class string is a no-op
     // (tests/selection-property.rs:120-125: class attr stays absent)
     val merged = (n.classList ++ incoming).distinct
@@ -343,7 +343,7 @@ object TreeOps {
   def removeClass(a: Arena, id: Int, classes: String): Unit = {
     val n = a(id)
     if (!n.isElement || n.attrs == null || !n.attrs.contains("class")) return
-    val rm = classes.split("[ \t\n\r\f]+").filter(_.nonEmpty).toSet
+    val rm = graft.model.AsciiWs.split(classes).toSet
     val remaining = n.classList.filterNot(rm)
     setAttr(a, id, "class", remaining.mkString(" "))
   }
