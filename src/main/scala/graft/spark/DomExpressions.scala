@@ -187,10 +187,8 @@ case class DomCopySelection(children: Seq[Expression])
     val targetVal = children.head.eval(input)
     val sourceVal = children(2).eval(input)
     if (targetVal == null || sourceVal == null) return null
-    val target = Arena.fromRecs(
-      new ArrayDataAccess(targetVal.asInstanceOf[ArrayData]).toRecs.toSeq)
-    val source = Arena.fromRecs(
-      new ArrayDataAccess(sourceVal.asInstanceOf[ArrayData]).toRecs.toSeq)
+    val target = new ArrayDataAccess(targetVal.asInstanceOf[ArrayData]).toArena
+    val source = new ArrayDataAccess(sourceVal.asInstanceOf[ArrayData]).toArena
     val targets = Engine.select(new graft.css.ArenaAccess(target), Seq(0), targetPlan)
     val sources = Engine.select(new graft.css.ArenaAccess(source), Seq(0), sourcePlan)
     targets.foreach { t =>
@@ -204,7 +202,7 @@ case class DomCopySelection(children: Seq[Expression])
       }
       if (mode == "replace") TreeOps.removeFromParent(target, t)
     }
-    NodeSchema.recsToArrayData(target.toRecs)
+    NodeSchema.arenaToArrayData(target)
   }
   override def prettyName: String = "dom_copy_selection"
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): DomCopySelection =
@@ -411,10 +409,9 @@ case class DomMutate(children: Seq[Expression]) extends Expression with CodegenF
     val a2 = children(4).eval(input)
     val arg1 = if (a1 == null) null else a1.toString
     val arg2 = if (a2 == null) null else a2.toString
-    val acc = new ArrayDataAccess(nodesVal.asInstanceOf[ArrayData])
-    val arena = Arena.fromRecs(acc.toRecs.toSeq)
+    val arena = new ArrayDataAccess(nodesVal.asInstanceOf[ArrayData]).toArena
     DomMutate.applyOp(arena, plan, opName, arg1, arg2)
-    NodeSchema.recsToArrayData(arena.toRecs)
+    NodeSchema.arenaToArrayData(arena)
   }
   override def prettyName: String = "dom_mutate"
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): DomMutate =
@@ -473,8 +470,7 @@ case class DomMutateOps(children: Seq[Expression]) extends Expression with Codeg
   override def eval(input: InternalRow): Any = {
     val nodesVal = children.head.eval(input)
     if (nodesVal == null) return null
-    val acc = new ArrayDataAccess(nodesVal.asInstanceOf[ArrayData])
-    val arena = Arena.fromRecs(acc.toRecs.toSeq)
+    val arena = new ArrayDataAccess(nodesVal.asInstanceOf[ArrayData]).toArena
     var i = 0
     while (i < opCount) {
       val a1 = children(3 + 4 * i).eval(input)
@@ -484,7 +480,7 @@ case class DomMutateOps(children: Seq[Expression]) extends Expression with Codeg
         if (a2 == null) null else a2.toString)
       i += 1
     }
-    NodeSchema.recsToArrayData(arena.toRecs)
+    NodeSchema.arenaToArrayData(arena)
   }
   override def prettyName: String = "dom_mutate_ops"
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): DomMutateOps =
@@ -599,8 +595,7 @@ case class DomValidate(child: Expression) extends UnaryExpression with CodegenFa
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def nullSafeEval(nodes: Any): Any = {
-    val acc = new ArrayDataAccess(nodes.asInstanceOf[ArrayData])
-    TreeOps.validate(Arena.fromRecs(acc.toRecs.toSeq)) match {
+    TreeOps.validate(new ArrayDataAccess(nodes.asInstanceOf[ArrayData]).toArena) match {
       case Some(msg) => UTF8String.fromString(msg)
       case None => null
     }

@@ -267,6 +267,42 @@ final class ArrayDataAccess(arr: ArrayData) extends NodeAccess with AttrIterable
     }
   }
 
+  /** Direct ArrayData → mutable Arena decode for the mutation/validate/copy
+    * expressions: skips the NodeRec + VectorMap materialization per node
+    * that `Arena.fromRecs(toRecs)` paid (derived columns are recomputed on
+    * encode anyway, so only kind/name/payload/attrs/ns/pointers matter). */
+  def toArena: graft.model.Arena = {
+    val a = new graft.model.Arena
+    var i = 0
+    while (i < n) {
+      val r = row(i)
+      val m = new graft.model.MutNode(kind(i), name(i), text(i), mediaRef(i))
+      if (!r.isNullAt(NodeSchema.ATTRS)) {
+        val mp = r.getMap(NodeSchema.ATTRS)
+        val lhm = new scala.collection.mutable.LinkedHashMap[String, String]()
+        val ks = mp.keyArray()
+        val vs = mp.valueArray()
+        var j = 0
+        val cnt = mp.numElements()
+        while (j < cnt) {
+          lhm.put(ks.getUTF8String(j).toString, vs.getUTF8String(j).toString)
+          j += 1
+        }
+        m.attrs = lhm
+      }
+      m.ns = ns(i)
+      m.parent = parent(i)
+      m.prev = prevSibling(i)
+      m.next = nextSibling(i)
+      m.firstChild = firstChild(i)
+      m.lastChild = lastChild(i)
+      m.templateContents = templateContents(i)
+      a.nodes += m
+      i += 1
+    }
+    a
+  }
+
   /** Rebuild engine records (for mutation expressions that need an Arena). */
   def toRecs: Array[NodeRec] = Array.tabulate(n) { i =>
     val r = row(i)
