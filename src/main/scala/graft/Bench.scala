@@ -248,7 +248,12 @@ object Bench {
     def noteBw(b: Double): Double = { bwBest = math.max(bwBest, b); b }
     def isQuiet(c: Double, b: Double): Boolean =
       c >= QuietFrac * calibBest && b >= BwQuietFrac * bwBest
-    case class Pass(secs: Double, calib: Double, bw: Double)
+    // a pass is quiet only if BOTH its pre-run AND post-run readings clear
+    // the gates (r4: a local[2] pass runs ~40 s — congestion arriving DURING
+    // the run is invisible to a pre-run-only probe; bracketing catches it
+    // while staying calibration-conditioned, never result-conditioned)
+    case class Pass(secs: Double, calib: Double, bw: Double,
+        calibPost: Double, bwPost: Double)
     def oneRun(n: Int, warm: Boolean): Pass = {
       // CPU spin AND sequential-read bandwidth: shuffles + parquet decode
       // are bandwidth-bound, and bw collapses independently of cpu here
@@ -257,7 +262,8 @@ object Bench {
       val s = session(n)
       try {
         if (warm) frontierRun(s, benchDir, seenBloom) // JIT warmup (pass 1 only)
-        Pass(frontierRun(s, benchDir, seenBloom), calib, bw)
+        val secs = frontierRun(s, benchDir, seenBloom)
+        Pass(secs, calib, bw, note(calibMops(cpus)), noteBw(memBwMBs()))
       } finally {
         s.stop()
         System.gc() // don't hand the next session a dirty heap
@@ -275,13 +281,15 @@ object Bench {
     // quiet-window extension: bounded, conditioned on calibration only
     var extraLeft = MaxExtraPasses
     for (n <- ns) {
-      while (extraLeft > 0 && !passes(n).exists(p => isQuiet(p.calib, p.bw))) {
+      while (extraLeft > 0 && !passes(n).exists(p =>
+          isQuiet(p.calib, p.bw) && isQuiet(p.calibPost, p.bwPost))) {
         passes(n) = passes(n) :+ oneRun(n, warm = false)
         extraLeft -= 1
       }
     }
     def quietMin(n: Int): (Double, Boolean) = {
-      val quiet = passes(n).filter(p => isQuiet(p.calib, p.bw))
+      val quiet = passes(n).filter(p =>
+        isQuiet(p.calib, p.bw) && isQuiet(p.calibPost, p.bwPost))
       if (quiet.nonEmpty) (quiet.map(_.secs).min, false)
       else (passes(n).map(_.secs).min, true)
     }
@@ -462,8 +470,8 @@ object Bench {
     val qc = headlineCalibs.map { case (k, v) => "\"" + k + f"\":$v%.0f" }.mkString("{", ",", "}")
     val sh = shuffleMb.map { case (k, v) => "\"" + k + f"\":$v%.1f" }.mkString("{", ",", "}")
     def passArr(n: Int) = passes(n).map(p => f"${p.secs}%.2f").mkString("[", ",", "]")
-    def calibArr(n: Int) = passes(n).map(p => f"${p.calib}%.0f").mkString("[", ",", "]")
-    def bwArrJ(n: Int) = passes(n).map(p => f"${p.bw}%.0f").mkString("[", ",", "]")
+    def calibArr(n: Int) = passes(n).map(p => f"${p.calib}%.0f/${p.calibPost}%.0f").mkString("[\"", "\",\"", "\"]")
+    def bwArrJ(n: Int) = passes(n).map(p => f"${p.bw}%.0f/${p.bwPost}%.0f").mkString("[\"", "\",\"", "\"]")
     val total = results.values.filter(_ >= 0).sum
     val crawlMs = crawlRoundMs.mkString("[", ",", "]")
     val qfb = quietFallback.mkString("[", ",", "]")
@@ -476,6 +484,6 @@ object Bench {
       f"""{"metric":"frontier throughput (URLs scheduled+deduped/sec)","value":$thr32%.0f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","headline_total_sec":$total%.3f,"shuffle_write_mb":$sh,"frontier_urls":$nUrls,"thr_local2":$thr2%.0f,"thr_local8":$thr8%.0f,"thr_local32":$thr32%.0f,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"quiet_fallback":$qfb,"crawl_round_ms":$crawlMs,"ann_recall5_lsh":$recallLsh%.3f,"ann_recall5_ivf":$recallIvf%.3f,"lsh_max_bucket":$lshMaxBucket,"lsh_bucket_cap":${graft.pipeline.Similarity.LshBucketCap},"neardup_max_bucket":$neardupMaxBucket,"neardup_bucket_cap":${graft.pipeline.Similarity.NearDupBucketCap},"minhash_max_band":$minhashMaxBand,"simhash_max_band":$simhashMaxBand,"band_cap":${graft.pipeline.TextPipeline.BandCap},"selection_us_per_page":$selUsPerDoc%.1f,"selection_decode_us_per_page":$selDecodeUsPerDoc%.1f,"selection_pages":$selDocs,"selection_quiet_fallback":$selQuietFallback,"micro_select_us":$microSelect%.1f,"micro_serial_us":$microSerial%.1f,"micro_find_us":$microFind%.1f,"micro_parse_us":$microParse%.1f,"reference_micro_us":{"simple":36.6,"serial":16.4,"find":7.9},"reference_selection_us":36.6}""")
     // SECOND line: raw per-pass series + calibration evidence + protocol note
     println(
-      f"""{"diagnostics":true,"passes_local2":${passArr(2)},"passes_local8":${passArr(8)},"passes_local32":${passArr(32)},"calib_mops_local2":${calibArr(2)},"calib_mops_local8":${calibArr(8)},"calib_mops_local32":${calibArr(32)},"membw_local2":${bwArrJ(2)},"membw_local8":${bwArrJ(8)},"membw_local32":${bwArrJ(32)},"quiet_frac":$QuietFrac,"selection_calib_mops":$selCalib%.0f,"selection_membw_mbs":$selBw%.0f,"selection_samples":$selSamples,"headline_calib_mops":$qc,"micro_calib_mops":$microCalib%.0f,"scaling_note":"frontier rounds use the snapshot-persisted URL-seen bloom built OUTSIDE the timed region (the Frontier.crawl production shape); 2 interleaved passes per N + up to $MaxExtraPasses calibration-gated extras (never result-conditioned); per-N time = min over passes whose pre-pass $cpus-thread CPU calibration >= $QuietFrac AND sequential-read bandwidth >= $BwQuietFrac of the run's best (quiet_fallback lists Ns where no pass qualified); host vCPU oversubscription caps raw 8-to-32 scaling, so 2-to-8 is the engine-scaling pair; crawl_round_ms = per-round compute wall over 4 discovery rounds (seen grows, incremental bloom keeps cost flat); headline queries: bounded calibration-gated quiet-wait before each query (headline_calib_mops per query), then min of 3 timed runs; selection block runs 4 passes + up to 3 calibration-gated extras"}""")
+      f"""{"diagnostics":true,"passes_local2":${passArr(2)},"passes_local8":${passArr(8)},"passes_local32":${passArr(32)},"calib_mops_local2":${calibArr(2)},"calib_mops_local8":${calibArr(8)},"calib_mops_local32":${calibArr(32)},"membw_local2":${bwArrJ(2)},"membw_local8":${bwArrJ(8)},"membw_local32":${bwArrJ(32)},"quiet_frac":$QuietFrac,"selection_calib_mops":$selCalib%.0f,"selection_membw_mbs":$selBw%.0f,"selection_samples":$selSamples,"headline_calib_mops":$qc,"micro_calib_mops":$microCalib%.0f,"scaling_note":"frontier rounds use the snapshot-persisted URL-seen bloom built OUTSIDE the timed region (the Frontier.crawl production shape); 2 interleaved passes per N + up to $MaxExtraPasses calibration-gated extras (never result-conditioned); per-N time = min over passes whose PRE- and POST-run $cpus-thread CPU calibrations >= $QuietFrac AND sequential-read bandwidths >= $BwQuietFrac of the run's best (pre/post pairs in calib_mops_*/membw_* strings) (quiet_fallback lists Ns where no pass qualified); host vCPU oversubscription caps raw 8-to-32 scaling, so 2-to-8 is the engine-scaling pair; crawl_round_ms = per-round compute wall over 4 discovery rounds (seen grows, incremental bloom keeps cost flat); headline queries: bounded calibration-gated quiet-wait before each query (headline_calib_mops per query), then min of 3 timed runs; selection block runs 4 passes + up to 3 calibration-gated extras"}""")
   }
 }
