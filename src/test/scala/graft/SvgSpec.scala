@@ -123,6 +123,60 @@ class SvgSpec extends AnyFunSuite {
       """<math><annotation-xml><abbr>x</abbr></annotation-xml></math>""")
   }
 
+  test("stored ns equals independent structural inference on parse-built trees") {
+    // differential oracle: on a FRESHLY PARSED tree, the stored per-element
+    // ns must coincide with a root-down structural fold (svg/math roots,
+    // HTML/MathML-text integration points, annotation-xml encoding) written
+    // here independently from the HTML spec's tree-construction rules
+    def inferredNs(d: Doc): Map[Int, String] = {
+      val a = d.arena
+      val out = scala.collection.mutable.Map[Int, String]()
+      def childCtx(id: Int, own: String): String = {
+        val name = a(id).name
+        val inner = if (name == "svg") "svg" else if (name == "math") "math" else own
+        if (inner == "svg" && (name == "foreignObject" || name == "desc" || name == "title")) "html"
+        else if (inner == "math" && Set("mi", "mo", "mn", "ms", "mtext")(name)) "html"
+        else if (inner == "math" && name == "annotation-xml" && {
+          val e = a(id).attr("encoding").getOrElse("")
+          e.equalsIgnoreCase("text/html") || e.equalsIgnoreCase("application/xhtml+xml")
+        }) "html"
+        else inner
+      }
+      def walk(id: Int, ctx: String): Unit = {
+        val own =
+          if (!a(id).isElement) ctx
+          else if (a(id).name == "svg") "svg"
+          else if (a(id).name == "math") "math"
+          else ctx
+        if (a(id).isElement) out(id) = own
+        val next = if (a(id).isElement) childCtx(id, own) else ctx
+        a.childIds(id).foreach(walk(_, next))
+        val tc = a(id).templateContents
+        if (tc != -1) walk(tc, next)
+      }
+      walk(0, "html")
+      out.toMap
+    }
+    val pages = Seq(
+      """<svg><g><circle/></g><foreignObject><div><svg><rect/></svg></div></foreignObject></svg>""",
+      """<math><mi><b>x</b></mi><annotation-xml encoding="text/html"><p><svg/></p></annotation-xml></math>""",
+      """<math><annotation-xml><abbr>x</abbr><svg><area>a</area></svg></annotation-xml></math>""",
+      """<div><svg><title><g/></title><desc><span/></desc></svg><map><area></map></div>""",
+      """<template><svg><mtext/></svg></template><math><mtext><svg><circle/></svg></mtext></math>""",
+      """<svg><font>x</font></svg><math><mglyph/></math>""",
+      """<p><svg><script>raw</script><style>s</style></svg></p>""")
+    pages.foreach { html =>
+      val d = Doc.parse(html)
+      val inf = inferredNs(d)
+      (0 until d.arena.size).foreach { i =>
+        if (d.arena(i).isElement)
+          assert(d.arena(i).ns == inf(i),
+            s"ns mismatch at node $i (${d.arena(i).name}) in $html: " +
+              s"stored=${d.arena(i).ns} inferred=${inf(i)}")
+      }
+    }
+  }
+
   test("stored ns survives cross-namespace reparenting (VERDICT r3 ask #5)") {
     // structural inference would flip a reparented svg <area> into an HTML
     // void element; the STORED ns column keeps closed-foreign semantics
