@@ -43,12 +43,15 @@ object Frontier {
   val SALT_BUCKETS = 16
 
   /** Candidate dedup (step 1). Input: url, host, priority, seq.
-    * Groups on `url` alone (host is a pure function of the url) so the
-    * output is HashPartitioned(url) — the downstream seen anti-join on url
-    * reuses this exchange instead of shuffling the big side again. */
+    * Groups on `(url, host)` — host is a pure function of the url, so the
+    * groups are identical to url-alone, but keeping host OUT of the
+    * aggregate list matters physically: a `max(host)` STRING aggregation
+    * buffer forces SortAggregate (a per-partition sort of the whole
+    * frontier); with only fixed-width buffers (max int, min long) the
+    * dedup runs as HashAggregate with map-side partial combine. */
   def dedupCandidates(frontier: DataFrame): DataFrame =
-    frontier.groupBy("url")
-      .agg(max("host").as("host"), max("priority").as("priority"), min("seq").as("seq"))
+    frontier.groupBy("url", "host")
+      .agg(max("priority").as("priority"), min("seq").as("seq"))
 
   /**
    * URL-seen filter (step 2). `seen` has column `url`.
