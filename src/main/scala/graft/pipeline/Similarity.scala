@@ -218,10 +218,14 @@ object Similarity {
     // payloads rejoin on the deduped id pairs. One signature per vector ⇒
     // each pair appears in at most one bucket, so no distinct is needed.
     graft.spark.GraftFunctions.register(emb.sparkSession)
-    // native one-pass 12-bit signature (≡ lshSignatureSql, differential)
+    // native one-pass 12-bit signature (≡ lshSignatureSql, differential),
+    // persisted: the capped self-join consumes it on BOTH sides and the
+    // plan showed no exchange reuse across them — same in-query signature
+    //-table pattern (and caching caveats) as minhashPairs' shingle table
     val sig = corpus.withColumn("bucket",
         graft.spark.GraftFunctions.lsh_bits(col("embedding"), 0, 12))
       .select(col("vec_id"), col("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // deterministic sorted-slice bucket cap (r3 ask #3, oracle-mirrored):
     // bounds the self-join at maxBucket² per bucket no matter how hot
     val capped = sig.groupBy("bucket")
