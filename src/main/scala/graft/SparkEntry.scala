@@ -414,6 +414,25 @@ object SparkEntry {
           size(F.dom_find(col("nodes2"), Seq("body"))).cast("long").as("n_body"))
         .orderBy("doc_id")),
 
+    // F6 head()/body() + T7 first_element_child + X4 id()/class() + X15
+    // :empty — the remaining API-surface cluster, oracle-gated (r4)
+    "q_dom_head_meta" -> ((s, dir) =>
+      parts(s, dir)
+        .withColumn("bodykids",
+          F.dom_children(col("nodes"), F.css_select(col("nodes"), "body")))
+        .select(col("doc_id"),
+          F.dom_text(col("nodes"), F.css_select(col("nodes"), "head > title"))
+            .as("head_title"),
+          expr("""element_at(nodes, element_at(
+                    filter(bodykids, i -> element_at(nodes, i + 1).kind = 'element'),
+                    1) + 1).name""").as("body_first_elem"),
+          expr("element_at(element_at(nodes, element_at(css_select(nodes, '#main'), 1) + 1).attrs, 'id')")
+            .as("main_id"),
+          expr("element_at(element_at(nodes, element_at(css_select(nodes, 'a.plink'), 1) + 1).attrs, 'class')")
+            .as("a_class"),
+          size(F.css_select(col("nodes"), "li:empty")).cast("long").as("n_empty_li"))
+        .orderBy("doc_id")),
+
     // T1/T2/T3 traversal surface: child walk + ancestor chains (bounded and
     // unbounded max_depth) straight off the pointer columns — r3 ask #7
     "q_dom_traverse" -> ((s, dir) =>
@@ -863,6 +882,14 @@ object SparkEntry {
         """SELECT cast(p_partkey as varchar) AS doc_id,
            'href,class' AS attr_names,
            '/part/' || p_partkey || ',plink' AS attr_values
+           FROM part ORDER BY doc_id""",
+      "q_dom_head_meta" ->
+        """SELECT cast(p_partkey as varchar) AS doc_id,
+           'Part ' || p_partkey AS head_title,
+           'div' AS body_first_elem,
+           'main' AS main_id,
+           'plink' AS a_class,
+           cast(0 as bigint) AS n_empty_li
            FROM part ORDER BY doc_id""",
       "q_dom_traverse" ->
         s"""SELECT cast(p_partkey as varchar) AS doc_id,
