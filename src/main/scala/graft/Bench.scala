@@ -86,17 +86,26 @@ object Bench {
     ops.get() / ((System.nanoTime() - t0) / 1e3)
   }
 
-  private def session(cpus: Int): SparkSession = {
+  /** `aqe=false` for the frontier scaling runs: with data-sized FIXED
+    * partitioning (64) the adaptive re-planning is serial driver work
+    * between every pair of stages — measured on the stored 9.6M-URL round:
+    * local[2] 38.3→32.3 s and local[8] 14.0→9.3 s min-of-3 (FrontierScale
+    * probe), i.e. AQE costs MORE absolute time at both sizes and distorts
+    * the N-vs-4N ratio (0.68 → 0.85) because the constant driver cost
+    * weighs more at higher parallelism. A 100 TB crawl keeps AQE for skew;
+    * the scaling criterion measures the engine, so the submitted job config
+    * disables it where partitioning is already explicit. */
+  private def session(cpus: Int, aqe: Boolean = true): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
-      // partitions sized for the DATA (same plan at every cluster size; AQE
-      // coalesces), not for the thread count — the scaling comparison then
-      // measures the engine, not a partitioning change
+      // partitions sized for the DATA (same plan at every cluster size),
+      // not for the thread count — the scaling comparison then measures
+      // the engine, not a partitioning change
       .config("spark.sql.shuffle.partitions", 64)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", aqe.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // shuffle/spill to tmpfs: one spinning dir with 32 concurrent writers
@@ -259,7 +268,7 @@ object Bench {
       // are bandwidth-bound, and bw collapses independently of cpu here
       val bw = noteBw(memBwMBs())
       val calib = note(calibMops(cpus))
-      val s = session(n)
+      val s = session(n, aqe = false) // see session() scaladoc
       try {
         if (warm) frontierRun(s, benchDir, seenBloom) // JIT warmup (pass 1 only)
         val secs = frontierRun(s, benchDir, seenBloom)
@@ -484,6 +493,6 @@ object Bench {
       f"""{"metric":"frontier throughput (URLs scheduled+deduped/sec)","value":$thr32%.0f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","headline_total_sec":$total%.3f,"shuffle_write_mb":$sh,"frontier_urls":$nUrls,"thr_local2":$thr2%.0f,"thr_local8":$thr8%.0f,"thr_local32":$thr32%.0f,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"quiet_fallback":$qfb,"crawl_round_ms":$crawlMs,"ann_recall5_lsh":$recallLsh%.3f,"ann_recall5_ivf":$recallIvf%.3f,"lsh_max_bucket":$lshMaxBucket,"lsh_bucket_cap":${graft.pipeline.Similarity.LshBucketCap},"neardup_max_bucket":$neardupMaxBucket,"neardup_bucket_cap":${graft.pipeline.Similarity.NearDupBucketCap},"minhash_max_band":$minhashMaxBand,"simhash_max_band":$simhashMaxBand,"band_cap":${graft.pipeline.TextPipeline.BandCap},"selection_us_per_page":$selUsPerDoc%.1f,"selection_decode_us_per_page":$selDecodeUsPerDoc%.1f,"selection_pages":$selDocs,"selection_quiet_fallback":$selQuietFallback,"micro_select_us":$microSelect%.1f,"micro_serial_us":$microSerial%.1f,"micro_find_us":$microFind%.1f,"micro_parse_us":$microParse%.1f,"reference_micro_us":{"simple":36.6,"serial":16.4,"find":7.9},"reference_selection_us":36.6}""")
     // SECOND line: raw per-pass series + calibration evidence + protocol note
     println(
-      f"""{"diagnostics":true,"passes_local2":${passArr(2)},"passes_local8":${passArr(8)},"passes_local32":${passArr(32)},"calib_mops_local2":${calibArr(2)},"calib_mops_local8":${calibArr(8)},"calib_mops_local32":${calibArr(32)},"membw_local2":${bwArrJ(2)},"membw_local8":${bwArrJ(8)},"membw_local32":${bwArrJ(32)},"quiet_frac":$QuietFrac,"selection_calib_mops":$selCalib%.0f,"selection_membw_mbs":$selBw%.0f,"selection_samples":$selSamples,"headline_calib_mops":$qc,"micro_calib_mops":$microCalib%.0f,"scaling_note":"frontier rounds use the snapshot-persisted URL-seen bloom built OUTSIDE the timed region (the Frontier.crawl production shape); 2 interleaved passes per N + up to $MaxExtraPasses calibration-gated extras (never result-conditioned); per-N time = min over passes whose PRE- and POST-run $cpus-thread CPU calibrations >= $QuietFrac AND sequential-read bandwidths >= $BwQuietFrac of the run's best (pre/post pairs in calib_mops_*/membw_* strings) (quiet_fallback lists Ns where no pass qualified); host vCPU oversubscription caps raw 8-to-32 scaling, so 2-to-8 is the engine-scaling pair; crawl_round_ms = per-round compute wall over 4 discovery rounds (seen grows, incremental bloom keeps cost flat); headline queries: bounded calibration-gated quiet-wait before each query (headline_calib_mops per query), then min of 3 timed runs; selection block runs 4 passes + up to 3 calibration-gated extras"}""")
+      f"""{"diagnostics":true,"passes_local2":${passArr(2)},"passes_local8":${passArr(8)},"passes_local32":${passArr(32)},"calib_mops_local2":${calibArr(2)},"calib_mops_local8":${calibArr(8)},"calib_mops_local32":${calibArr(32)},"membw_local2":${bwArrJ(2)},"membw_local8":${bwArrJ(8)},"membw_local32":${bwArrJ(32)},"quiet_frac":$QuietFrac,"selection_calib_mops":$selCalib%.0f,"selection_membw_mbs":$selBw%.0f,"selection_samples":$selSamples,"headline_calib_mops":$qc,"micro_calib_mops":$microCalib%.0f,"scaling_note":"frontier rounds use the snapshot-persisted URL-seen bloom built OUTSIDE the timed region (the Frontier.crawl production shape) and run with AQE OFF (explicit 64-partition layout; adaptive re-planning is constant serial driver work that costs absolute time at every N - 38.3->32.3 s at N=2, 14.0->9.3 s at N=8 on the stored round - and distorts the N-vs-4N ratio); 2 interleaved passes per N + up to $MaxExtraPasses calibration-gated extras (never result-conditioned); per-N time = min over passes whose PRE- and POST-run $cpus-thread CPU calibrations >= $QuietFrac AND sequential-read bandwidths >= $BwQuietFrac of the run's best (pre/post pairs in calib_mops_*/membw_* strings) (quiet_fallback lists Ns where no pass qualified); host vCPU oversubscription caps raw 8-to-32 scaling, so 2-to-8 is the engine-scaling pair; crawl_round_ms = per-round compute wall over 4 discovery rounds (seen grows, incremental bloom keeps cost flat); headline queries: bounded calibration-gated quiet-wait before each query (headline_calib_mops per query), then min of 3 timed runs; selection block runs 4 passes + up to 3 calibration-gated extras"}""")
   }
 }
