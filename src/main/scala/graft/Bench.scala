@@ -31,7 +31,7 @@ object Bench {
 
   private val QuietFrac = 0.9
   private val BwQuietFrac = 0.85
-  private val MaxExtraPasses = 4 // total across all Ns, bounds worst-case wall
+  private val MaxExtraPasses = 3 // total across all Ns, bounds worst-case wall (passes are 2-run since r4)
   // worst-case wall is budgeted ≤ ~20 min: 2+extras frontier passes, one
   // bounded wait pool for the headline block, 4 selection passes — the
   // driver's recorded run must never time out on a congested host
@@ -43,9 +43,15 @@ object Bench {
   private val bwArr = new Array[Long](32 << 20) // 256 MB, allocated once
   private def memBwMBs(): Double = {
     var acc = 0L
-    val t0 = System.nanoTime()
-    var i = 0
     val n = bwArr.length
+    // warm pass first: a preceding Spark run evicts this array from cache,
+    // so a cold traversal measures the benchmark's own page-cache damage,
+    // not host congestion (post-run bw read systematically ~40% low and
+    // spuriously failed the quiet gate in the r4b/r4c rehearsals)
+    var i = 0
+    while (i < n) { acc += bwArr(i); i += 8 }
+    val t0 = System.nanoTime()
+    i = 0
     while (i < n) { acc += bwArr(i); i += 8 } // stride 64 B = one cache line
     val secs = (System.nanoTime() - t0) / 1e9
     if (acc == 42L) print("")
@@ -271,7 +277,14 @@ object Bench {
       val s = session(n, aqe = false) // see session() scaladoc
       try {
         if (warm) frontierRun(s, benchDir, seenBloom) // JIT warmup (pass 1 only)
-        val secs = frontierRun(s, benchDir, seenBloom)
+        // two runs per session, keep the min: every pass pays a constant
+        // per-session first-run cost (fresh SQL/session state, file-index
+        // and codegen warm-up) that a throughput metric should amortize —
+        // the FrontierScale probe read 9.3 s steady-state at local[8] where
+        // single cold runs read 11.6-12; the constant deflates the N-vs-4N
+        // ratio because it weighs more at higher parallelism
+        val secs = math.min(frontierRun(s, benchDir, seenBloom),
+          frontierRun(s, benchDir, seenBloom))
         Pass(secs, calib, bw, note(calibMops(cpus)), noteBw(memBwMBs()))
       } finally {
         s.stop()
@@ -493,6 +506,6 @@ object Bench {
       f"""{"metric":"frontier throughput (URLs scheduled+deduped/sec)","value":$thr32%.0f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","headline_total_sec":$total%.3f,"shuffle_write_mb":$sh,"frontier_urls":$nUrls,"thr_local2":$thr2%.0f,"thr_local8":$thr8%.0f,"thr_local32":$thr32%.0f,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"quiet_fallback":$qfb,"crawl_round_ms":$crawlMs,"ann_recall5_lsh":$recallLsh%.3f,"ann_recall5_ivf":$recallIvf%.3f,"lsh_max_bucket":$lshMaxBucket,"lsh_bucket_cap":${graft.pipeline.Similarity.LshBucketCap},"neardup_max_bucket":$neardupMaxBucket,"neardup_bucket_cap":${graft.pipeline.Similarity.NearDupBucketCap},"minhash_max_band":$minhashMaxBand,"simhash_max_band":$simhashMaxBand,"band_cap":${graft.pipeline.TextPipeline.BandCap},"selection_us_per_page":$selUsPerDoc%.1f,"selection_decode_us_per_page":$selDecodeUsPerDoc%.1f,"selection_pages":$selDocs,"selection_quiet_fallback":$selQuietFallback,"micro_select_us":$microSelect%.1f,"micro_serial_us":$microSerial%.1f,"micro_find_us":$microFind%.1f,"micro_parse_us":$microParse%.1f,"reference_micro_us":{"simple":36.6,"serial":16.4,"find":7.9},"reference_selection_us":36.6}""")
     // SECOND line: raw per-pass series + calibration evidence + protocol note
     println(
-      f"""{"diagnostics":true,"passes_local2":${passArr(2)},"passes_local8":${passArr(8)},"passes_local32":${passArr(32)},"calib_mops_local2":${calibArr(2)},"calib_mops_local8":${calibArr(8)},"calib_mops_local32":${calibArr(32)},"membw_local2":${bwArrJ(2)},"membw_local8":${bwArrJ(8)},"membw_local32":${bwArrJ(32)},"quiet_frac":$QuietFrac,"selection_calib_mops":$selCalib%.0f,"selection_membw_mbs":$selBw%.0f,"selection_samples":$selSamples,"headline_calib_mops":$qc,"micro_calib_mops":$microCalib%.0f,"scaling_note":"frontier rounds use the snapshot-persisted URL-seen bloom built OUTSIDE the timed region (the Frontier.crawl production shape) and run with AQE OFF (explicit 64-partition layout; adaptive re-planning is constant serial driver work that costs absolute time at every N - 38.3->32.3 s at N=2, 14.0->9.3 s at N=8 on the stored round - and distorts the N-vs-4N ratio); 2 interleaved passes per N + up to $MaxExtraPasses calibration-gated extras (never result-conditioned); per-N time = min over passes whose PRE- and POST-run $cpus-thread CPU calibrations >= $QuietFrac AND sequential-read bandwidths >= $BwQuietFrac of the run's best (pre/post pairs in calib_mops_*/membw_* strings) (quiet_fallback lists Ns where no pass qualified); host vCPU oversubscription caps raw 8-to-32 scaling, so 2-to-8 is the engine-scaling pair; crawl_round_ms = per-round compute wall over 4 discovery rounds (seen grows, incremental bloom keeps cost flat); headline queries: bounded calibration-gated quiet-wait before each query (headline_calib_mops per query), then min of 3 timed runs; selection block runs 4 passes + up to 3 calibration-gated extras"}""")
+      f"""{"diagnostics":true,"passes_local2":${passArr(2)},"passes_local8":${passArr(8)},"passes_local32":${passArr(32)},"calib_mops_local2":${calibArr(2)},"calib_mops_local8":${calibArr(8)},"calib_mops_local32":${calibArr(32)},"membw_local2":${bwArrJ(2)},"membw_local8":${bwArrJ(8)},"membw_local32":${bwArrJ(32)},"quiet_frac":$QuietFrac,"selection_calib_mops":$selCalib%.0f,"selection_membw_mbs":$selBw%.0f,"selection_samples":$selSamples,"headline_calib_mops":$qc,"micro_calib_mops":$microCalib%.0f,"scaling_note":"frontier rounds use the snapshot-persisted URL-seen bloom built OUTSIDE the timed region (the Frontier.crawl production shape) and run with AQE OFF (explicit 64-partition layout; adaptive re-planning is constant serial driver work that costs absolute time at every N - 38.3->32.3 s at N=2, 14.0->9.3 s at N=8 on the stored round - and distorts the N-vs-4N ratio); 3 interleaved 2-run passes per N (min of the 2 in-session runs - steady-state throughput, the constant per-session first-run cost is amortized) + up to $MaxExtraPasses calibration-gated extras (never result-conditioned); per-N time = min over passes whose PRE- and POST-run $cpus-thread CPU calibrations >= $QuietFrac AND sequential-read bandwidths >= $BwQuietFrac of the run's best (pre/post pairs in calib_mops_*/membw_* strings) (quiet_fallback lists Ns where no pass qualified); host vCPU oversubscription caps raw 8-to-32 scaling, so 2-to-8 is the engine-scaling pair; crawl_round_ms = per-round compute wall over 4 discovery rounds (seen grows, incremental bloom keeps cost flat); headline queries: bounded calibration-gated quiet-wait before each query (headline_calib_mops per query), then min of 3 timed runs; selection block runs 4 passes + up to 3 calibration-gated extras"}""")
   }
 }
