@@ -257,12 +257,27 @@ object Bench {
     // so 2→8 is the engine-scaling pair; local[32] still runs for peak.
     // Interleaved passes: host capacity drifts over minutes, so measuring
     // each N in one contiguous window biases whichever N hit a bad window.
-    var calibBest = 0.0
-    var bwBest = 0.0
-    def note(c: Double): Double = { calibBest = math.max(calibBest, c); c }
-    def noteBw(b: Double): Double = { bwBest = math.max(bwBest, b); b }
+    // quiet reference = SECOND-highest reading of the run: with ~30 probe
+    // readings per run, a single outlier spike (one 14.2k Mops reading on a
+    // host otherwise delivering 12.5k) would raise the bar for every pass
+    // and force fallbacks (r4e/r4f); dropping exactly one extreme keeps the
+    // reference result-independent but robust
+    var calibTop1 = 0.0; var calibTop2 = 0.0
+    var bwTop1 = 0.0; var bwTop2 = 0.0
+    def note(c: Double): Double = {
+      if (c > calibTop1) { calibTop2 = calibTop1; calibTop1 = c }
+      else if (c > calibTop2) calibTop2 = c
+      c
+    }
+    def noteBw(b: Double): Double = {
+      if (b > bwTop1) { bwTop2 = bwTop1; bwTop1 = b }
+      else if (b > bwTop2) bwTop2 = b
+      b
+    }
+    def calibRef: Double = if (calibTop2 > 0) calibTop2 else calibTop1
+    def bwRef: Double = if (bwTop2 > 0) bwTop2 else bwTop1
     def isQuiet(c: Double, b: Double): Boolean =
-      c >= QuietFrac * calibBest && b >= BwQuietFrac * bwBest
+      c >= QuietFrac * calibRef && b >= BwQuietFrac * bwRef
     // a pass is quiet only if BOTH its pre-run AND post-run readings clear
     // the gates (r4: a local[2] pass runs ~40 s — congestion arriving DURING
     // the run is invisible to a pre-run-only probe; bracketing catches it
@@ -376,6 +391,12 @@ object Bench {
         .write.mode("overwrite").parquet(stored)
       val docs = s.read.parquet(stored)
       selDocs = docs.count()
+      // post-write recovery: every rehearsal's FIRST timed selection pass
+      // after the 60k-page write ran 10-20x slow for ~1 min (sustained heap/
+      // page-cache pressure, min-of-2 doesn't dodge it) — reclaim before
+      // the warmup so pass 1 starts from a settled heap
+      System.gc()
+      Thread.sleep(2000)
       import graft.spark.{GraftFunctions => F}
       def selJob() = docs
         .withColumn("athing", F.css_select(col("nodes"), "tr.athing:has(a[href][id])"))
@@ -383,7 +404,12 @@ object Bench {
         .select(col("doc_id"),
           F.dom_attr_each(col("nodes"), col("title_a"), "href").as("hrefs"),
           F.dom_text_each(col("nodes"), col("title_a")).as("titles"))
-      selJob().write.format("noop").mode("overwrite").save() // warmup
+      // warmup: selection twice + decode once (the first post-write job
+      // carries the recovery cost; it must not be a timed pass)
+      selJob().write.format("noop").mode("overwrite").save()
+      selJob().write.format("noop").mode("overwrite").save()
+      docs.select(col("doc_id"), size(col("nodes")).as("n"))
+        .write.format("noop").mode("overwrite").save()
       // 4 passes, each preceded by (cpu, bandwidth) calibration readings;
       // reported number = min over QUIET passes (both readings within the
       // quiet fractions of the run's best) — pass selection depends only on
