@@ -610,9 +610,11 @@ object SparkEntry {
         TextPipeline.withSyntheticDups(TextPipeline.documents(s, dir)), minJ = 0.6)
         .orderBy("id_a", "id_b")),
 
+    // maxHam 6 ≡ the r4 threshold 3 scaled with the signature widening
+    // (30 → 60 usable bits, VERDICT r4 ask #2)
     "q_dedup_simhash" -> ((s, dir) =>
       TextPipeline.simhashPairs(
-        TextPipeline.withSyntheticDups(TextPipeline.documents(s, dir)), maxHam = 3)
+        TextPipeline.withSyntheticDups(TextPipeline.documents(s, dir)), maxHam = 6)
         .orderBy("id_a", "id_b")),
 
     "q_embed_neardup" -> ((s, dir) =>
@@ -1042,11 +1044,18 @@ object SparkEntry {
   private val dSig =
     s"""[list_min(list_transform(shingles, h -> (h*(2*i+3) + 5*i+7) % $P))
          for i in range(0, 16)]"""
+  // 60-bit simhash ≡ TextPipeline.simhashSql: low 30 bits vote on th, high
+  // 30 bits on the derived (h*1009+7) % P per-token hash
   private val dSimhash =
-    s"""list_sum([CASE WHEN 2 * len(list_filter(th, h -> (h // (1::BIGINT << b)) % 2 = 1))
-                        >= len(th)
-                  THEN (1::BIGINT << b) ELSE 0::BIGINT END
-                  for b in range(0, 32)])"""
+    s"""(list_sum([CASE WHEN 2 * len(list_filter(th, h -> (h // (1::BIGINT << b)) % 2 = 1))
+                         >= len(th)
+                   THEN (1::BIGINT << b) ELSE 0::BIGINT END
+                   for b in range(0, 30)])
+         + list_sum([CASE WHEN 2 * len(list_filter(th,
+                           h -> (((h * 1009 + 7) % $P) // (1::BIGINT << b)) % 2 = 1))
+                         >= len(th)
+                   THEN (1::BIGINT << (30 + b)) ELSE 0::BIGINT END
+                   for b in range(0, 30)]))"""
   private def dFingerprint(t: String) =
     s"""list_reduce(list_prepend(0::BIGINT,
           list_transform(string_split(regexp_replace(trim($t), '\\s+', ' ', 'g'), ''),
@@ -1178,7 +1187,7 @@ object SparkEntry {
             tok AS (SELECT doc_id, ${dTokenHashes("text")} AS th FROM corpus),
             sims AS (SELECT doc_id, $dSimhash AS sim FROM tok),
             bands AS (SELECT doc_id, sim,
-                             unnest([concat_ws(':', b, (sim // (1::BIGINT << (8*b))) % 256)
+                             unnest([concat_ws(':', b, (sim // (1::BIGINT << (15*b))) % 32768)
                                      for b in range(0, 4)]) AS band
                       FROM sims),
             bucketed AS (SELECT band, list_slice(list_sort(list(doc_id)), 1,
@@ -1189,7 +1198,7 @@ object SparkEntry {
             FROM capped a JOIN capped b ON a.band = b.band AND a.doc_id < b.doc_id
             JOIN sims sa ON sa.doc_id = a.doc_id
             JOIN sims sb ON sb.doc_id = b.doc_id
-            WHERE bit_count(xor(sa.sim, sb.sim)) <= 3
+            WHERE bit_count(xor(sa.sim, sb.sim)) <= 6
             ORDER BY id_a, id_b""",
       "q_embed_neardup" ->
         // mirrors Similarity.embeddingNearDupPairs exactly, INCLUDING the

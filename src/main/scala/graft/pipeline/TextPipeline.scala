@@ -74,14 +74,29 @@ object TextPipeline {
           i -> array_min(transform($shingles,
             h -> (h * (2 * i + 3) + 5 * i + 7) % ${P}L)))"""
 
-  /** 32-bit SimHash over token hashes: bit b set iff the majority of token
-    * hashes have bit b set. */
-  def simhashSql(tokenHashes: String) =
-    s"""aggregate(sequence(0, 31), 0L,
+  /** One 30-bit SimHash half over a hash array: bit b set iff the majority
+    * of the hashes have bit b set. 30 bits because every hash is mod
+    * P = 1e9+7 < 2^30, so bits ≥ 30 are constant-zero — a wider loop would
+    * only manufacture dead signature bits. */
+  def simhashHalfSql(hashes: String) =
+    s"""aggregate(sequence(0, 29), 0L,
           (acc, b) -> acc + CASE WHEN
-            2 * size(filter($tokenHashes, h -> (h div shiftleft(1L, b)) % 2 = 1))
-              >= size($tokenHashes)
+            2 * size(filter($hashes, h -> (h div shiftleft(1L, b)) % 2 = 1))
+              >= size($hashes)
             THEN shiftleft(1L, b) ELSE 0L END)"""
+
+  /** 60-bit SimHash over token hashes: two independent 30-bit halves — the
+    * low half over the token hashes themselves, the high half over the
+    * derived hash `(h*1009+7) % P` per token (a second universal-family
+    * draw, DuckDB-reproducible). Widened from the r4 32-bit signature: a
+    * 4×8-bit band space (~256 keys/position) saturated its cap at sf0.1
+    * already (`simhash_max_band` 1600 > 1024) — at 100 TB every band key
+    * collapses and pairing degenerates to cap-limited sampling. 4×15-bit
+    * bands give ~32k keys per position, restoring the cap to non-binding
+    * guard duty (VERDICT r4 ask #2). */
+  def simhashSql(tokenHashes: String) =
+    s"""(${simhashHalfSql(tokenHashes)}
+         + shiftleft(${simhashHalfSql(s"transform($tokenHashes, h -> (h * 1009 + 7) % ${P}L)")}, 30))"""
 
   /** document fingerprint: char-fold of whitespace-normalized text (X-analog
     * of the reference's streaming normalized fold, `ops.rs:66-82`). */
@@ -244,8 +259,8 @@ object TextPipeline {
       .select("id_a", "id_b")
   }
 
-  /** SimHash near-dup pairs: 32-bit signature, 4 byte-bands; candidates share
-    * a band; verified with hamming distance ≤ maxHam. */
+  /** SimHash near-dup pairs: 60-bit signature, 4 15-bit bands; candidates
+    * share a band; verified with hamming distance ≤ maxHam. */
   def simhashPairs(corpus: DataFrame, maxHam: Int): DataFrame = {
     graft.spark.GraftFunctions.register(corpus.sparkSession)
     // one persisted (doc_id, sim) signature table for band generation + the
@@ -259,11 +274,11 @@ object TextPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sig.select(col("doc_id"),
         posexplode(expr(
-          "transform(sequence(0, 3), b -> concat_ws(':', b, (sim div shiftleft(1L, 8*b)) % 256))")))
+          "transform(sequence(0, 3), b -> concat_ws(':', b, (sim div shiftleft(1L, 15*b)) % 32768))")))
       .withColumnRenamed("col", "band")
-    // band keys capped at a deterministic sorted slice (r3 ask #6) — the
-    // 4×256 simhash band space is COARSE (a whole corpus shares ~1k keys),
-    // so the cap is what bounds the self-join at scale
+    // band keys capped at a deterministic sorted slice (r3 ask #6); with the
+    // r5 60-bit signature each band position has ~32k possible keys, so the
+    // cap is back to non-binding guard duty against boilerplate-flooded keys
     val capped = capBands(bands.select("band", "doc_id"), "band", BandCap)
     val candIds = capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
@@ -297,7 +312,7 @@ object TextPipeline {
       .withColumn("th", expr(s"transform(toks, w -> ${wordHashSql("w")})"))
       .withColumn("sim", graft.spark.GraftFunctions.simhash_bits(col("th")))
       .select(posexplode(expr(
-        "transform(sequence(0, 3), b -> concat_ws(':', b, (sim div shiftleft(1L, 8*b)) % 256))")))
+        "transform(sequence(0, 3), b -> concat_ws(':', b, (sim div shiftleft(1L, 15*b)) % 32768))")))
       .groupBy("col").count().agg(max("count")).collect()(0).getLong(0)
   }
 

@@ -45,24 +45,30 @@ object PipelineExprOps {
     new GenericArrayData(out)
   }
 
-  /** One-pass 32-bit SimHash; bit b set iff ≥ half the token hashes have
-    * bit b set (empty input sets every bit, matching the HOF's 0 >= 0). */
+  /** One-pass 60-bit SimHash: bits 0..29 vote on the token hashes, bits
+    * 30..59 on the derived per-token hash `(h*1009+7) % P` (a second
+    * universal-family draw — token hashes are mod P < 2^30, so a single
+    * hash only carries 30 usable bits). Bit b set iff ≥ half the hashes
+    * have it set (empty input sets every bit, matching the HOF's 0 >= 0).
+    * ≡ `TextPipeline.simhashSql`, differentially tested in PipelineSpec. */
   def simhashBits(arr: ArrayData): Long = {
     val n = arr.numElements()
-    val counts = new Array[Int](32)
+    val counts = new Array[Int](60)
     var j = 0
     while (j < n) {
       val h = arr.getLong(j)
+      val h2 = (h * 1009L + 7L) % 1000000007L
       var b = 0
-      while (b < 32) {
+      while (b < 30) {
         if (((h >>> b) & 1L) == 1L) counts(b) += 1
+        if (((h2 >>> b) & 1L) == 1L) counts(30 + b) += 1
         b += 1
       }
       j += 1
     }
     var sim = 0L
     var b = 0
-    while (b < 32) {
+    while (b < 60) {
       if (2 * counts(b) >= n) sim += (1L << b)
       b += 1
     }
@@ -194,10 +200,10 @@ case class MinhashSig(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
-/** `simhash_bits(token_hashes)` ≡ `TextPipeline.simhashSql`: 32-bit SimHash
-  * in one pass instead of 32 interpreted `filter` scans. Token hashes are
-  * non-negative (mod P), so the HOF's integer `div` equals the unsigned
-  * shift used here. */
+/** `simhash_bits(token_hashes)` ≡ `TextPipeline.simhashSql`: 60-bit SimHash
+  * (2×30-bit halves) in one pass instead of 60 interpreted `filter` scans.
+  * Token hashes are non-negative (mod P), so the HOF's integer `div` equals
+  * the unsigned shift used here. */
 case class SimhashBits(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
