@@ -462,6 +462,64 @@ object SparkEntry {
             F.css_select(col("nodes2"), "a.plink"))).cast("long").as("n_union"))
         .orderBy("doc_id")),
 
+    // M6 append/prepend_children + M8 reparent/remove_children + T8
+    // html_root + Q11 length/exists/is_empty — the assembly wrapper cluster,
+    // oracle-gated (r4 ask #4a): a five-stage child-chain shuffle whose
+    // final layout is a pure function of p_name
+    "q_dom_assemble" -> ((s, dir) =>
+      parts(s, dir)
+        .withColumn("nodes2", F.dom_mutate_ops(col("nodes"), Seq(
+          ("body", "append_html", lit("<div id=\"stash\"></div>"), lit(null)),
+          // M6: ul.words AND its following sibling p.sz move into #stash
+          ("#stash", "append_children", lit("#main > ul.words"), lit(null)),
+          // M8: the li's move back under #main (after a.plink)
+          ("ul.words", "reparent_children", lit("#main"), lit(null)),
+          // M8: p.sz loses its text child
+          ("#stash p.sz", "remove_children", lit(null), lit(null)),
+          // M6: the li chain returns to the (now empty) ul, order preserved
+          ("ul.words", "prepend_children", lit("#main li"), lit(null)))))
+        .select(col("doc_id"),
+          expr("""array_join(transform(dom_children(nodes2, css_select(nodes2, '#stash')),
+                    i -> element_at(nodes2, i + 1).name), ',')""").as("stash_kids"),
+          F.dom_text(col("nodes2"), F.css_select(col("nodes2"), "#stash ul.words"))
+            .as("ul_text"),
+          F.dom_text(col("nodes2"), F.css_select(col("nodes2"), "#main")).as("main_text"),
+          size(F.css_select(col("nodes2"), "#stash :empty")).cast("long").as("n_empty_stash"),
+          // T8: first element child of the root — stable at 1 through surgery
+          F.dom_html_root(col("nodes2")).cast("long").as("html_root_id"),
+          // Q11 length / is_empty as cardinalities
+          size(F.css_select(col("nodes2"), "li")).cast("long").as("n_li"),
+          size(F.css_select(col("nodes2"), "#main li")).cast("long").as("n_main_li"))
+        .orderBy("doc_id")),
+
+    // X3 has_attr (presence, incl. the empty-value case dom_attr can't
+    // distinguish) + X14 :only-text + P11 inert pseudo-classes (parse but
+    // never match) + C2 copy_nodes_with_fn (batch C1 + per-copy callback,
+    // composed as copy_selection then add_class on the copies) + C3
+    // to_fragment — oracle-gated (r4 ask #4b)
+    "q_dom_reflect" -> ((s, dir) =>
+      parts(s, dir)
+        .withColumn("nodesC", F.dom_mutate(
+          F.dom_copy_selection(col("nodes"), "p.sz", col("nodes"), "ul.words li", "append"),
+          "p.sz li", "add_class", lit("copied")))
+        .withColumn("nodesF", F.dom_mutate(col("nodes"), "ul.words", "to_fragment"))
+        .select(col("doc_id"),
+          F.dom_has_attr(col("nodes"), F.css_select(col("nodes"), "a.plink"), "href")
+            .as("a_has_href"),
+          F.dom_has_attr(col("nodes"), F.css_select(col("nodes"), "a.plink"), "ping")
+            .as("a_has_ping"),
+          size(F.css_select(col("nodes"), "#main *:only-text")).cast("long")
+            .as("n_only_text"),
+          size(F.css_select(col("nodes"), "a.plink:hover, li:visited, p:focus"))
+            .cast("long").as("n_inert"),
+          size(F.css_select(col("nodesC"), "p.sz li.copied")).cast("long").as("n_copied"),
+          size(F.css_select(col("nodesC"), "ul.words li.copied")).cast("long")
+            .as("n_orig_tagged"),
+          F.dom_text(col("nodesC"), F.css_select(col("nodesC"), "p.sz")).as("copied_text"),
+          size(col("nodesF")).cast("long").as("n_frag_nodes"),
+          F.dom_html(col("nodesF"), F.css_select(col("nodesF"), "ul")).as("frag_html"))
+        .orderBy("doc_id")),
+
     // flagship link extraction (P10 :has + Q3 chains + X1/X6)
     "q_links" -> ((s, dir) => qLinks(s, dir)),
 
@@ -905,6 +963,29 @@ object SparkEntry {
             cast(1 + least($W, 2) as bigint) AS n_links,
             string_split(p_name, ' ')[1] || p_type AS first_li,
             cast($W + 1 + least($W, 2) as bigint) AS n_union
+            FROM part ORDER BY doc_id""",
+      "q_dom_assemble" ->
+        s"""SELECT cast(p_partkey as varchar) AS doc_id,
+            'ul,p' AS stash_kids,
+            replace(p_name, ' ', '') AS ul_text,
+            p_type AS main_text,
+            cast(1 as bigint) AS n_empty_stash,
+            cast(1 as bigint) AS html_root_id,
+            cast($W as bigint) AS n_li,
+            cast(0 as bigint) AS n_main_li
+            FROM part ORDER BY doc_id""",
+      "q_dom_reflect" ->
+        s"""SELECT cast(p_partkey as varchar) AS doc_id,
+            true AS a_has_href,
+            false AS a_has_ping,
+            cast($W + 2 as bigint) AS n_only_text,
+            cast(0 as bigint) AS n_inert,
+            cast($W as bigint) AS n_copied,
+            cast(0 as bigint) AS n_orig_tagged,
+            'size ' || p_size || replace(p_name, ' ', '') AS copied_text,
+            cast(4 + 2 * $W as bigint) AS n_frag_nodes,
+            '<ul class="words"><li>' || replace(p_name, ' ', '</li><li>')
+              || '</li></ul>' AS frag_html
             FROM part ORDER BY doc_id""",
       "q_dom_insert_family" ->
         """SELECT cast(p_partkey as varchar) AS doc_id,

@@ -292,6 +292,37 @@ case class DomAttr(first: Expression, second: Expression, third: Expression)
     copy(first = f, second = s, third = t)
 }
 
+/** `dom_has_attr(nodes, ids, key)` → whether the FIRST id carries the
+  * attribute (X3, `Doc.hasAttr` first-match semantics — presence, not
+  * value: distinguishes `attr=""` from absent, which `dom_attr IS NOT NULL`
+  * cannot). False on an empty selection. */
+case class DomHasAttr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(nodes: Any, ids: Any, key: Any): Any = {
+    val acc = new ArrayDataAccess(nodes.asInstanceOf[ArrayData])
+    val idArr = ids.asInstanceOf[ArrayData]
+    idArr.numElements() > 0 && acc.attrU(idArr.getInt(0), key.asInstanceOf[UTF8String]) != null
+  }
+  override def prettyName: String = "dom_has_attr"
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
+    copy(first = f, second = s, third = t)
+}
+
+/** `dom_html_root(nodes)` → id of the root's first element child (T8,
+  * ≡ `Arena.htmlRoot`/`Doc.htmlRoot`), -1 when the document has none. */
+case class DomHtmlRoot(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(nodes: Any): Any = {
+    val acc = new ArrayDataAccess(nodes.asInstanceOf[ArrayData])
+    var c = acc.firstChild(0)
+    while (c != -1 && !acc.isElement(c)) c = acc.nextSibling(c)
+    c
+  }
+  override def prettyName: String = "dom_html_root"
+  override protected def withNewChildInternal(c: Expression): DomHtmlRoot = copy(child = c)
+}
+
 /** `dom_html(nodes, ids, include_root)` → HTML of first id (S4/X9). */
 case class DomHtml(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with CodegenFallback {
@@ -388,7 +419,9 @@ case class DomNormCharCount(left: Expression, right: Expression)
  * Ops: set_attr(k,v) remove_attr(k) add_class(c) remove_class(c) rename(n)
  * set_text(t) remove() append_html(h) prepend_html(h) set_html(h)
  * before_html(h) after_html(h) replace_with_html(h) wrap_html(h) unwrap()
- * strip_elements(names-csv) normalize().
+ * strip_elements(names-csv) normalize() append_children(css)
+ * prepend_children(css) reparent_children(dest-css) remove_children()
+ * to_fragment().
  *
  * The rebuild goes ArrayData → Arena → pointer surgery → records → ArrayData;
  * derived structural columns are recomputed (post-mutation trees lose
@@ -410,8 +443,7 @@ case class DomMutate(children: Seq[Expression]) extends Expression with CodegenF
     val arg1 = if (a1 == null) null else a1.toString
     val arg2 = if (a2 == null) null else a2.toString
     val arena = new ArrayDataAccess(nodesVal.asInstanceOf[ArrayData]).toArena
-    DomMutate.applyOp(arena, plan, opName, arg1, arg2)
-    NodeSchema.arenaToArrayData(arena)
+    NodeSchema.arenaToArrayData(DomMutate.applyOp(arena, plan, opName, arg1, arg2))
   }
   override def prettyName: String = "dom_mutate"
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): DomMutate =
@@ -419,13 +451,47 @@ case class DomMutate(children: Seq[Expression]) extends Expression with CodegenF
 }
 
 object DomMutate {
+  /** Compiled plans for ops whose arg1 is itself a selector
+    * (append_children / prepend_children / reparent_children): the main css
+    * is a literal cached on the expression, but arg selectors arrive as data
+    * strings — cache per distinct text so hot loops never re-parse. */
+  private val argPlanCache =
+    new java.util.concurrent.ConcurrentHashMap[String, List[SelectorAst.Complex]]()
+  private def argPlan(css: String): List[SelectorAst.Complex] =
+    argPlanCache.computeIfAbsent(css, c => SelectorAst.parse(c))
+
   /** One selector-targeted mutation over a live arena (shared by the
-    * single-op and multi-op expressions). */
+    * single-op and multi-op expressions). Returns the arena to continue
+    * with: the input for in-place pointer surgery, or a REPLACEMENT for the
+    * whole-document ops (to_fragment). */
   def applyOp(arena: Arena, plan: List[SelectorAst.Complex], opName: String,
-      arg1: String, arg2: String): Unit = {
+      arg1: String, arg2: String): Arena = {
     val targets = Engine.select(new graft.css.ArenaAccess(arena), Seq(0), plan)
+    if (opName == "to_fragment") {
+      // C3: the document becomes the standalone fragment clone of the FIRST
+      // target (`node_ref.rs:743-767` semantics via TreeOps.toFragment)
+      return targets.headOption.map(t => TreeOps.toFragment(arena, t)).getOrElse(arena)
+    }
+    // first match of an arg selector against the CURRENT arena state —
+    // resolved per target so op k sees op k-1's surgery, like chained calls
+    def firstMatch(css: String): Int =
+      Engine.select(new graft.css.ArenaAccess(arena), Seq(0), argPlan(css))
+        .headOption.getOrElse(-1)
     targets.foreach { t =>
       opName match {
+        case "append_children" =>
+          // M6: move the arg1-selected node AND its following siblings in
+          // as children of the target
+          val first = firstMatch(arg1)
+          if (first != -1) TreeOps.appendChildren(arena, t, first)
+        case "prepend_children" =>
+          val first = firstMatch(arg1)
+          if (first != -1) TreeOps.prependChildren(arena, t, first)
+        case "reparent_children" =>
+          // M8: move ALL children of the target under the arg1 first match
+          val to = firstMatch(arg1)
+          if (to != -1) TreeOps.reparentChildren(arena, t, to)
+        case "remove_children" => TreeOps.removeChildren(arena, t)
         case "set_attr" => TreeOps.setAttr(arena, t, arg1, arg2)
         case "remove_attr" => TreeOps.removeAttrs(arena, t, Seq(arg1))
         case "add_class" => TreeOps.addClass(arena, t, arg1)
@@ -446,6 +512,7 @@ object DomMutate {
         case other => throw new IllegalArgumentException(s"unknown dom_mutate op '$other'")
       }
     }
+    arena
   }
 }
 
@@ -470,12 +537,12 @@ case class DomMutateOps(children: Seq[Expression]) extends Expression with Codeg
   override def eval(input: InternalRow): Any = {
     val nodesVal = children.head.eval(input)
     if (nodesVal == null) return null
-    val arena = new ArrayDataAccess(nodesVal.asInstanceOf[ArrayData]).toArena
+    var arena = new ArrayDataAccess(nodesVal.asInstanceOf[ArrayData]).toArena
     var i = 0
     while (i < opCount) {
       val a1 = children(3 + 4 * i).eval(input)
       val a2 = children(4 + 4 * i).eval(input)
-      DomMutate.applyOp(arena, plans(i), opNames(i),
+      arena = DomMutate.applyOp(arena, plans(i), opNames(i),
         if (a1 == null) null else a1.toString,
         if (a2 == null) null else a2.toString)
       i += 1

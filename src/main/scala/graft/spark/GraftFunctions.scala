@@ -49,6 +49,8 @@ object GraftFunctions {
       DomMutate(padded)
     }
     add("dom_mutate_ops")(es => DomMutateOps(es))
+    add("dom_has_attr")(es => DomHasAttr(es(0), es(1), es(2)))
+    add("dom_html_root")(es => DomHtmlRoot(es.head))
     add("dom_find")(es => DomFind(es(0), es(1)))
     add("dom_ancestors")(es => DomAncestors(es(0), es(1), es(2)))
     add("dom_children")(es => DomChildren(es(0), es(1)))
@@ -118,6 +120,9 @@ object GraftFunctions {
   def text_lang_stats(toks: Column): Column = call_function("text_lang_stats", toks)
   def lsh_bits(embedding: Column, jStart: Int, nBits: Int): Column =
     call_function("lsh_bits", embedding, lit(jStart), lit(nBits))
+  def dom_has_attr(nodes: Column, ids: Column, key: String): Column =
+    call_function("dom_has_attr", nodes, ids, lit(key))
+  def dom_html_root(nodes: Column): Column = call_function("dom_html_root", nodes)
   def dom_find(nodes: Column, path: Seq[String]): Column =
     call_function("dom_find", nodes, lit(path.mkString(",")))
   def dom_ancestors(nodes: Column, ids: Column, maxDepth: Int): Column =
