@@ -48,7 +48,21 @@ object Frontier {
     * aggregate list matters physically: a `max(host)` STRING aggregation
     * buffer forces SortAggregate (a per-partition sort of the whole
     * frontier); with only fixed-width buffers (max int, min long) the
-    * dedup runs as HashAggregate with map-side partial combine. */
+    * dedup runs as HashAggregate with map-side partial combine.
+    *
+    * Trade-off, measured (r4 ADVICE): the output is HashPartitioned on
+    * (url, host), so the url-only seen anti-join downstream re-shuffles
+    * where the old url-grouped SortAggregate's exchange was reused. The A/B
+    * round-wall probe (BASELINE.md r5) puts the (url,host) HashAggregate at
+    * parity-or-better vs url-only overall — the SortAggregate it removed
+    * cost more than the lost reuse — so the HashAggregate shape stays.
+    *
+    * INVARIANT the grouping relies on: `host` must be byte-identical for
+    * every occurrence of a url. Both producers guarantee it by
+    * construction — [[UrlCanon]] derives host from the canonical url in one
+    * place, and the synthetic frontiers build host from the same key as the
+    * url — and CrawlSpec's dedup oracle equality would fail on any url
+    * splitting across two host spellings. */
   def dedupCandidates(frontier: DataFrame): DataFrame =
     frontier.groupBy("url", "host")
       .agg(max("priority").as("priority"), min("seq").as("seq"))
@@ -95,21 +109,23 @@ object Frontier {
    * flat as the seen table grows (a fresh `bloom_filter_agg` over the full
    * seen set would re-scan 10^10 rows every round).
    *
-   * The probe is Spark's NATIVE `might_contain(filterBytes, xxhash64(url))`
-   * (VERDICT r3 ask #4): the filter must be built over `xxhash64(url)` LONGS
-   * ([[urlBloom]]) — the same sketch serialization `bloom_filter_agg`
-   * produces — so the predicate stays inside whole-stage codegen instead of
-   * breaking the hottest filter with a per-row Scala UDF. The serialized
-   * bytes ride as a Literal, exactly how Spark's own runtime bloom join
-   * filters inject the sketch into the probe side.
+   * The probe is a native codegen expression over `xxhash64(url)` LONGS
+   * (the key space [[urlBloom]] builds — VERDICT r3 ask #4 kept the hottest
+   * filter out of a per-row Scala UDF), with the filter riding as a
+   * BROADCAST, not a plan Literal ([[BloomMightContainBc]]): the r4 Literal
+   * shape serialized the 2 MiB sketch into every stage's task binary every
+   * round and DOUBLED the steady-state crawl-round wall (~6 s → ~12.4 s on
+   * the A/B probe, BASELINE.md r5); at 10^10-URL scale the filter is GBs
+   * and only broadcast transport survives at all.
    */
   def filterUnseenCached(candidates: DataFrame, seen: DataFrame,
       bloom: BloomFilter): DataFrame = {
-    graft.spark.GraftFunctions.register(candidates.sparkSession)
-    val bos = new java.io.ByteArrayOutputStream()
-    bloom.writeTo(bos)
+    val spark = candidates.sparkSession
+    graft.spark.GraftFunctions.register(spark)
+    val slot = s"url-seen-${spark.sparkContext.applicationId}"
     val withFlag = candidates.withColumn("maybe_seen",
-      call_function("might_contain", lit(bos.toByteArray), xxhash64(col("url"))))
+      graft.spark.GraftFunctions.bloom_probe_bc(spark, slot, bloom,
+        xxhash64(col("url"))))
     val definiteNew = withFlag.filter(!col("maybe_seen")).drop("maybe_seen")
     val maybeSeen = withFlag.filter(col("maybe_seen")).drop("maybe_seen")
       .join(seen.select("url"), Seq("url"), "left_anti")
@@ -117,10 +133,39 @@ object Frontier {
   }
 
   /** Build a [[BloomFilter]] over `xxhash64(url)` longs — the key space
-    * [[filterUnseenCached]]'s native `might_contain` probe expects (and the
-    * one `bloom_filter_agg(xxhash64(url), …)` uses in [[filterUnseen]]). */
+    * [[filterUnseenCached]]'s native probe expects (and the one
+    * `bloom_filter_agg(xxhash64(url), …)` uses in [[filterUnseen]]). */
   def urlBloom(urls: DataFrame, expectedItems: Long, bloomBits: Long): BloomFilter =
     urls.select(xxhash64(col("url")).as("h")).stat.bloomFilter("h", expectedItems, bloomBits)
+
+  /** bloom.bin header: magic + key-space version. A filter persisted by a
+    * build with a DIFFERENT key space (pre-r4 snapshots were keyed on raw
+    * url strings) probed via `xxhash64(url)` returns noise — and a bloom
+    * FALSE NEGATIVE skips the exact anti-join entirely, silently
+    * rescheduling already-seen URLs (r4 ADVICE). The tag turns that silent
+    * divergence into a rebuild: on mismatch (or a legacy headerless file)
+    * the sidecar is discarded and the filter is rebuilt from the seen table
+    * via [[urlBloom]] — the existing resume fallback. */
+  private val BloomHeader: Array[Byte] =
+    "GRAFT-BLOOM keyspace=xxhash64(url) v1\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** [[BloomHeader]]-prefixed serialization (what snapshots store). */
+  def taggedBloomBytes(b: BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(BloomHeader)
+    b.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Read a snapshot bloom sidecar; None unless the key-space tag matches. */
+  def readTaggedBloom(p: java.nio.file.Path): Option[BloomFilter] = {
+    val in = Files.newInputStream(p)
+    try {
+      val hdr = in.readNBytes(BloomHeader.length)
+      if (java.util.Arrays.equals(hdr, BloomHeader)) Some(BloomFilter.readFrom(in))
+      else None
+    } catch { case _: java.io.IOException => None } finally in.close()
+  }
 
   /**
    * Politeness + priority scheduling (steps 3-4). Returns the scheduled set
@@ -311,20 +356,14 @@ object Frontier {
     var bloom: Option[BloomFilter] =
       if (bloomBits <= 0) None
       else start.flatMap { r =>
+        // key-space-tagged sidecar: mismatch/legacy → None → rebuild below
         val p = Paths.get(s"${snapshotDir(root, r)}/bloom.bin")
-        if (Files.exists(p)) {
-          val in = Files.newInputStream(p)
-          try Some(BloomFilter.readFrom(in)) finally in.close()
-        } else None
+        if (Files.exists(p)) readTaggedBloom(p) else None
       }.orElse(Some(start match {
         case Some(_) => urlBloom(seen, estItems, bloomBits)
         case None => BloomFilter.create(estItems, bloomBits)
       }))
-    def bloomBytes: Option[Array[Byte]] = bloom.map { b =>
-      val bos = new java.io.ByteArrayOutputStream()
-      b.writeTo(bos)
-      bos.toByteArray
-    }
+    def bloomBytes: Option[Array[Byte]] = bloom.map(taggedBloomBytes)
     val metricsOut = scala.collection.mutable.ListBuffer[Map[String, Long]]()
     var r = start.map(_ + 1).getOrElse(0)
     val endRound = rounds

@@ -65,6 +65,9 @@ object GraftFunctions {
     add("dom_spans")(es => DomSpans(es.head))
     add("dom_validate")(es => DomValidate(es.head))
     add("dom_base_uri")(es => DomBaseUri(es.head))
+    add("bloom_might_contain_bc")(es => graft.crawl.BloomMightContainBc(es(1),
+      graft.crawl.BloomBroadcasts.get(
+        es(0).eval(org.apache.spark.sql.catalyst.InternalRow.empty).toString)))
     add("canonicalize_url")(es => graft.crawl.CanonicalizeUrl(es(0), es(1)))
     add("url_host")(es => graft.crawl.UrlHostExpr(es.head))
     // Spark's bloom-filter expressions exist in catalyst (used by runtime
@@ -137,6 +140,17 @@ object GraftFunctions {
   def dom_spans(nodes: Column): Column = call_function("dom_spans", nodes)
   def dom_validate(nodes: Column): Column = call_function("dom_validate", nodes)
   def dom_base_uri(nodes: Column): Column = call_function("dom_base_uri", nodes)
+  /** Probe a driver-cached bloom filter via broadcast transport + codegen
+    * (see [[graft.crawl.BloomMightContainBc]]). One live broadcast per
+    * `slot`; re-broadcasts on every call since callers mutate the filter
+    * between rounds. */
+  def bloom_probe_bc(spark: SparkSession, slot: String,
+      bloom: org.apache.spark.util.sketch.BloomFilter, hash: Column): Column = {
+    register(spark)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val key = graft.crawl.BloomBroadcasts.install(slot, bc)
+    call_function("bloom_might_contain_bc", lit(key), hash)
+  }
   def canonicalize_url(url: Column, base: Column): Column =
     call_function("canonicalize_url", url, base)
   def url_host(url: Column): Column = call_function("url_host", url)
