@@ -679,6 +679,14 @@ object SparkEntry {
       Similarity.embeddingNearDupPairs(Similarity.embeddings(s, dir), minCos = 0.9)
         .orderBy("id_a", "id_b")),
 
+    // low-cap variant (cap=8 BINDS at sf0.01: 8 buckets exceed it, max 13)
+    // that oracle-gates the r5 star-fallback path: over-cap members pair
+    // with the bucket representative instead of being silently dropped
+    "q_embed_neardup_capped" -> ((s, dir) =>
+      Similarity.embeddingNearDupPairs(Similarity.embeddings(s, dir), minCos = 0.9,
+        maxBucket = 8)
+        .orderBy("id_a", "id_b")),
+
     "q_ann_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(Similarity.embeddings(s, dir), nQueries = 20, k = 5)
         .orderBy("query_id", "rank")),
@@ -1170,12 +1178,18 @@ object SparkEntry {
         (acc, v) -> acc + v)"""
   private def dCosine(a: String, b: String) =
     s"${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))"
+  /** DuckDB-side plane literals, generated from the same
+    * `PipelineExprOps.planeVal` the native kernel reads — double
+    * literals round-trip exactly, so the two engines can never diverge on
+    * plane formula or precision. */
+  private def dPlaneList(j: Int): String =
+    (0 until 64).map(d => graft.spark.PipelineExprOps.planeVal(j, d).toString)
+      .mkString("[", ", ", "]")
+
   private def dLshBucket(vec: String, nBits: Int) =
     (0 until nBits).map { j =>
       s"""CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
-            list_transform(list_zip($vec,
-              [(((${j} * 64 + d) * 2654435761) % 1000003) / 1000003.0 - 0.5
-               for d in range(0, 64)]),
+            list_transform(list_zip($vec, ${dPlaneList(j)}),
               t -> t[1]::DOUBLE * t[2]::DOUBLE)),
             (acc, v) -> acc + v) >= 0.0
           THEN ${1L << j}::BIGINT ELSE 0::BIGINT END"""
@@ -1305,6 +1319,35 @@ object SparkEntry {
                       JOIN sig sb ON sb.vec_id = cand.id_b
             WHERE ${dCosine("sa.embedding", "sb.embedding")} >= 0.9
             ORDER BY id_a, id_b""",
+      "q_embed_neardup_capped" ->
+        // mirrors the r5 window-rank cap + star fallback exactly: first 8
+        // ids per bucket do all-pairs, members past the cap pair with the
+        // bucket representative (min vec_id)
+        s"""WITH corpus AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000,
+                     list_concat([cast(embedding[1] * 1.001 as FLOAT4)], embedding[2:])
+              FROM embeddings WHERE vec_id % 10 = 0),
+            sig AS (SELECT vec_id, embedding,
+                           ${dLshBucket("embedding", 12)} AS bucket FROM corpus),
+            ranked AS (SELECT vec_id, bucket,
+                              row_number() OVER (PARTITION BY bucket
+                                ORDER BY vec_id) AS rn FROM sig),
+            capped AS (SELECT bucket, vec_id FROM ranked WHERE rn <= 8),
+            rep AS (SELECT bucket, vec_id AS rep_id FROM ranked WHERE rn = 1),
+            pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                      FROM capped a JOIN capped b
+                        ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+            star AS (SELECT r.rep_id AS id_a, k.vec_id AS id_b
+                     FROM ranked k JOIN rep r ON k.bucket = r.bucket
+                     WHERE k.rn > 8),
+            cand AS (SELECT * FROM pairs UNION ALL SELECT * FROM star)
+            SELECT id_a, id_b
+            FROM cand JOIN sig sa ON sa.vec_id = cand.id_a
+                      JOIN sig sb ON sb.vec_id = cand.id_b
+            WHERE ${dCosine("sa.embedding", "sb.embedding")} >= 0.9
+            ORDER BY id_a, id_b""",
       "q_ann_topk" ->
         s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                        FROM embeddings WHERE vec_id < 20),
@@ -1328,9 +1371,7 @@ object SparkEntry {
           (0 until nB).map { b =>
             val j = t * nB + b
             s"""CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
-                  list_transform(list_zip(embedding,
-                    [((($j * 64 + d) * 2654435761) % 1000003) / 1000003.0 - 0.5
-                     for d in range(0, 64)]),
+                  list_transform(list_zip(embedding, ${dPlaneList(j)}),
                     t -> t[1]::DOUBLE * t[2]::DOUBLE)),
                   (acc, v) -> acc + v) >= 0.0
                 THEN ${1L << b}::BIGINT ELSE 0::BIGINT END"""

@@ -75,12 +75,40 @@ object PipelineExprOps {
     sim
   }
 
+  /** Deterministic pseudo-random hyperplane component, the SINGLE source of
+    * truth for every LSH plane in the engine (native kernel here, the HOF
+    * SQL in `Similarity.lshSignatureSql`, and the DuckDB oracle mirrors all
+    * inline literals generated from this function). r5: the previous raw
+    * LCG (`(j*64+d)*2654435761 % 1000003`) left consecutive planes as
+    * adjacent windows of one LCG stream — Marsaglia lattice correlation
+    * made the 12-bit near-dup signature occupy only ~1832 of 4096 buckets
+    * with max occupancy 341 on UNIFORM vectors (~17× uniform expectation) —
+    * a hot-bucket skew multiplier on every LSH operator at 100 TB. Two
+    * xor-shift/multiply avalanche rounds decorrelate the planes: same
+    * uniform input measures 3806 buckets, max 36 (~10× better worst
+    * bucket). */
+  def planeVal(j: Int, d: Int): Double =
+    if (j < PlaneCacheJ) planeCache(j * 64 + d) else mixPlane(j, d)
+
+  private def mixPlane(j: Int, d: Int): Double = {
+    var h = ((j * 64 + d).toLong * 2654435761L) & 0xFFFFFFFFL
+    h ^= h >>> 16
+    h = (h * 73244475L) & 0xFFFFFFFFL
+    h ^= h >>> 16
+    h / 4294967296.0 - 0.5
+  }
+
+  // every configured signature uses j < 36 (8×3 ANN tables + 12 near-dup
+  // bits); cache the hot range so the per-vector fold is a table read
+  private final val PlaneCacheJ = 64
+  private lazy val planeCache: Array[Double] =
+    Array.tabulate(PlaneCacheJ * 64)(i => mixPlane(i / 64, i % 64))
+
   /** Random-hyperplane LSH bits ≡ `Similarity.lshSignatureSql` /
     * `lshTopK`'s per-table SQL: bit b (value 1<<b) set iff the sequential
-    * double fold of embedding·plane(jStart+b) is ≥ 0, plane(j)(d) =
-    * ((j*64+d)*2654435761 % 1000003)/1000003.0 − 0.5. Mirrors the HOF's
-    * null semantics: a non-64-dim or null-holding array zips with nulls →
-    * null fold → every bit 0. */
+    * double fold of embedding·plane(jStart+b) is ≥ 0, plane components from
+    * [[planeVal]]. Mirrors the HOF's null semantics: a non-64-dim or
+    * null-holding array zips with nulls → null fold → every bit 0. */
   def lshBits(arr: ArrayData, jStart: Int, nBits: Int): Long = {
     val n = arr.numElements()
     if (n != 64) return 0L
@@ -93,8 +121,7 @@ object PipelineExprOps {
       var acc = 0.0
       var d = 0
       while (d < 64) {
-        val p = (((j * 64 + d).toLong * 2654435761L) % 1000003L) / 1000003.0 - 0.5
-        acc += arr.getFloat(d).toDouble * p
+        acc += arr.getFloat(d).toDouble * planeVal(j, d)
         d += 1
       }
       if (acc >= 0.0) out |= (1L << b)

@@ -86,13 +86,16 @@ class PipelineSpec extends AnyFunSuite {
       .withColumn("b", expr(Similarity.lshSignatureSql("embedding", 12, 64)))
       .filter(expr("a IS DISTINCT FROM b")).count()
     assert(d1 == 0L)
-    // the 8x3 multi-table form (plane index j = t*3 + b, bit value 1<<b)
+    // the 8x3 multi-table form (plane index j = t*3 + b, bit value 1<<b);
+    // plane literals come from planeVal — the differential checks the HOF
+    // fold mechanics against the native kernel's loop, not the plane source
     val hof = (0 until Similarity.LshTables).map { t =>
       val bits = (0 until Similarity.LshBits).map { b =>
         val j = t * Similarity.LshBits + b
-        s"""CASE WHEN aggregate(zip_with(embedding,
-              transform(sequence(0, 63),
-                d -> ((($j * 64 + d) * 2654435761L) % 1000003L) / 1000003.0D - 0.5D),
+        val lits = (0 until 64)
+          .map(d => s"${graft.spark.PipelineExprOps.planeVal(j, d)}D")
+          .mkString(", ")
+        s"""CASE WHEN aggregate(zip_with(embedding, array($lits),
               (x, p) -> cast(x as double) * p), 0.0D, (acc, v) -> acc + v) >= 0.0D
             THEN ${1L << b}L ELSE 0L END"""
       }.mkString(" + ")
