@@ -668,6 +668,24 @@ object SparkEntry {
         TextPipeline.withSyntheticDups(TextPipeline.documents(s, dir)), minJ = 0.6)
         .orderBy("id_a", "id_b")),
 
+    // Incremental dedup against a persisted signature table (PLANS residual
+    // #3): round 1 ingests the base corpus (doc_id < 1000000), round 2 the
+    // synthetic-dup batch — every emitted pair has ≥1 round-2 side, which
+    // the oracle mirrors as id_b >= 1000000 (pairs are ordered and the new
+    // batch holds the largest ids). Round outputs union to the batch result.
+    "q_dedup_minhash_inc" -> ((s, dir) => {
+      val full = TextPipeline.withSyntheticDups(TextPipeline.documents(s, dir))
+      val sigDir = "/tmp/graft-sig-inc"
+      val p = new org.apache.hadoop.fs.Path(sigDir)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      TextPipeline.minhashPairsIncremental(
+        full.filter(col("doc_id") < 1000000), sigDir, minJ = 0.6).count()
+      TextPipeline.minhashPairsIncremental(
+        full.filter(col("doc_id") >= 1000000), sigDir, minJ = 0.6)
+        .orderBy("id_a", "id_b")
+    }),
+
     // maxHam 6 ≡ the r4 threshold 3 scaled with the signature widening
     // (30 → 60 usable bits, VERDICT r4 ask #2)
     "q_dedup_simhash" -> ((s, dir) =>
@@ -1276,6 +1294,29 @@ object SparkEntry {
                      FROM capped a JOIN capped b ON a.band = b.band AND a.doc_id < b.doc_id
                      JOIN sh sa ON sa.doc_id = a.doc_id
                      JOIN sh sb ON sb.doc_id = b.doc_id)
+            ${dJaccardSelect(0.6)}""",
+      "q_dedup_minhash_inc" ->
+        // the batch pipeline restricted to pairs with ≥1 round-2 side: the
+        // incremental round-2 output is exactly the batch pairs whose later
+        // doc is in the new batch (all new ids ≥ 1000000 and id_a < id_b,
+        // so the restriction is id_b >= 1000000)
+        s"""WITH $dCorpus, $dShinglePrep,
+            sigs AS (SELECT doc_id, shingles, $dSig AS sig FROM sh),
+            bands AS (SELECT doc_id, shingles,
+                             unnest([concat_ws(':', b, sig[4*b+1], sig[4*b+2],
+                                               sig[4*b+3], sig[4*b+4])
+                                     for b in range(0, 4)]) AS band
+                      FROM sigs),
+            bucketed AS (SELECT band, list_slice(list_sort(list(doc_id)), 1,
+                                                 ${TextPipeline.BandCap}) AS ids
+                         FROM bands GROUP BY band),
+            capped AS (SELECT band, unnest(ids) AS doc_id FROM bucketed),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                            sa.shingles AS sh_a, sb.shingles AS sh_b
+                     FROM capped a JOIN capped b ON a.band = b.band AND a.doc_id < b.doc_id
+                     JOIN sh sa ON sa.doc_id = a.doc_id
+                     JOIN sh sb ON sb.doc_id = b.doc_id
+                     WHERE b.doc_id >= 1000000)
             ${dJaccardSelect(0.6)}""",
       "q_dedup_simhash" ->
         s"""WITH $dCorpus,

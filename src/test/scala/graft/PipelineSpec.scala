@@ -30,6 +30,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(diff == 0L)
   }
 
+  test("incremental minhash over three rounds unions to the batch result") {
+    graft.spark.GraftFunctions.register(spark)
+    val corpus = TextPipeline.withSyntheticDups(TextPipeline.documents(spark, sf))
+    val sigDir = "/tmp/graft-sig-inc-spec"
+    val p = new org.apache.hadoop.fs.Path(sigDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    // pmod split scatters each dup cluster across rounds, so cross-round
+    // candidate generation (new batch vs stored history) is exercised in
+    // rounds 2 and 3, not just new-vs-new
+    val rounds = (0 until 3).map(r =>
+      TextPipeline.minhashPairsIncremental(
+        corpus.filter(pmod(col("doc_id"), lit(3)) === r), sigDir, minJ = 0.6))
+    val batch = TextPipeline.minhashPairs(corpus, minJ = 0.6)
+    val union = rounds.reduce(_ unionByName _)
+    // each pair exactly once across rounds, and the union IS the batch set:
+    // same cardinality + no duplicates + adds nothing to batch ⇒ equality
+    val (nUnion, nBatch) = (union.count(), batch.count())
+    assert(nUnion == nBatch)
+    assert(union.distinct().count() == nUnion)
+    assert(union.unionByName(batch).distinct().count() == nBatch)
+    fs.delete(p, true)
+  }
+
   test("native simhash_bits equals the documented SQL-HOF simhash") {
     graft.spark.GraftFunctions.register(spark)
     val corpus = TextPipeline.withSyntheticDups(TextPipeline.documents(spark, sf))
