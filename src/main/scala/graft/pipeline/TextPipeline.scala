@@ -244,24 +244,47 @@ object TextPipeline {
     * Jaccard verification rejoins stored shingles narrowly by id; the
     * per-key cap is a spillable window rank (no whole-key aggregation
     * buffer). The result is localCheckpoint-materialized before the
-    * append so it never races the `sigDir` mutation. */
+    * append so it never races the `sigDir` mutation.
+    *
+    * Replay idempotence (`batchTag`): a streaming caller passes its
+    * micro-batch id — the new signatures then land in an OVERWRITTEN
+    * per-tag subdirectory instead of a root append, and the stored-side
+    * read EXCLUDES the caller's own tag. A replayed micro-batch (failure
+    * recovery re-runs the last uncommitted batch) therefore reads exactly
+    * the pre-failure history and rewrites the same subdirectory, instead
+    * of double-appending its signatures and pairing its docs against
+    * half-written copies of themselves ([[graft.streaming.StreamingDedup]]
+    * composes this into a foreachBatch sink). */
   def minhashPairsIncremental(newDocs: DataFrame, sigDir: String,
-      minJ: Double): DataFrame = {
+      minJ: Double, batchTag: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = newDocs.sparkSession
     graft.spark.GraftFunctions.register(spark)
     val shPath = s"$sigDir/shingles"
     val bandPath = s"$sigDir/bands"
-    val hasStored = {
-      val p = new org.apache.hadoop.fs.Path(shPath)
-      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    // stored side = every committed part of the signature table except the
+    // caller's own tag (root part-files from untagged appends + per-tag
+    // subdirectories from streaming callers; _SUCCESS etc. skipped)
+    def storedParts(root: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter { s =>
+          val n = s.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".") && !batchTag.contains(n)
+        }
+        .map(_.getPath.toString)
     }
+    val (shStored, bandStored) = (storedParts(shPath), storedParts(bandPath))
     val newSh = withShingles(newDocs).select(col("doc_id"), col("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newBands = minhashBands(newSh)
-    val storedSh = if (hasStored) spark.read.parquet(shPath) else newSh.limit(0)
+    val storedSh =
+      if (shStored.nonEmpty) spark.read.parquet(shStored: _*) else newSh.limit(0)
     val storedBands =
-      if (hasStored) spark.read.parquet(bandPath) else newBands.limit(0)
+      if (bandStored.nonEmpty) spark.read.parquet(bandStored: _*)
+      else newBands.limit(0)
     // only history rows sharing a band key with the new batch can pair
     val touched = storedBands
       .join(newBands.select("band").distinct(), Seq("band"), "left_semi")
@@ -284,8 +307,14 @@ object TextPipeline {
       .filter(col("jac") >= minJ)
       .select("id_a", "id_b")
       .localCheckpoint()
-    newSh.write.mode("append").parquet(shPath)
-    newBands.write.mode("append").parquet(bandPath)
+    batchTag match {
+      case Some(tag) =>
+        newSh.write.mode("overwrite").parquet(s"$shPath/$tag")
+        newBands.write.mode("overwrite").parquet(s"$bandPath/$tag")
+      case None =>
+        newSh.write.mode("append").parquet(shPath)
+        newBands.write.mode("append").parquet(bandPath)
+    }
     newSh.unpersist(false)
     result
   }

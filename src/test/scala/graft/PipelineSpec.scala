@@ -54,6 +54,42 @@ class PipelineSpec extends AnyFunSuite {
     fs.delete(p, true)
   }
 
+  test("streaming minhash dedup: foreachBatch unions to batch, replay-idempotent") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamingDedup
+    graft.spark.GraftFunctions.register(spark)
+    val corpus = TextPipeline.withSyntheticDups(TextPipeline.documents(spark, sf))
+    val dir = java.nio.file.Files.createTempDirectory("stream_dedup").toString
+    // 3 files → 3 micro-batches (maxFilesPerTrigger=1); pmod split scatters
+    // each dup cluster across batches so new-vs-history candidates dominate
+    (0 until 3).foreach(r => corpus.filter(pmod(col("doc_id"), lit(3)) === r)
+      .repartition(1).write.parquet(s"$dir/in/f$r.parquet"))
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+    val sink = StreamingDedup.minhashSink(s"$dir/sig", s"$dir/pairs", minJ = 0.6)
+    val q = stream.writeStream.foreachBatch(sink)
+      .option("checkpointLocation", s"$dir/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    def streamed = spark.read
+      .option("recursiveFileLookup", "true").parquet(s"$dir/pairs")
+    def assertEquals(expect: org.apache.spark.sql.DataFrame): Unit = {
+      val (nS, nB) = (streamed.count(), expect.count())
+      assert(nS == nB)
+      assert(streamed.distinct().count() == nS, "duplicate pair emissions")
+      assert(streamed.unionByName(expect).distinct().count() == nB)
+    }
+    assertEquals(TextPipeline.minhashPairs(corpus, minJ = 0.6))
+    // simulated failure recovery: a 4th micro-batch delivered TWICE with the
+    // same batch id — the tag-keyed overwrites + own-tag-excluded history
+    // read must leave the output identical to a single delivery
+    val extra = corpus.filter(col("doc_id") < 1000000 && col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 5000000).as("doc_id"), col("text"))
+    sink(extra, 3L)
+    sink(extra, 3L)
+    assertEquals(TextPipeline.minhashPairs(corpus.unionByName(extra), minJ = 0.6))
+  }
+
   test("native simhash_bits equals the documented SQL-HOF simhash") {
     graft.spark.GraftFunctions.register(spark)
     val corpus = TextPipeline.withSyntheticDups(TextPipeline.documents(spark, sf))
