@@ -206,7 +206,7 @@ object TextPipeline {
   /** LSH band table of a (doc_id, shingles) frame: 16-hash signature
     * (native one-pass kernel ≡ minhashSigSql, PipelineSpec differential),
     * 4 bands × 4 rows → (doc_id, band). */
-  private def minhashBands(sh: DataFrame): DataFrame =
+  private[graft] def minhashBands(sh: DataFrame): DataFrame =
     sh.withColumn("sig", graft.spark.GraftFunctions.minhash_sig(col("shingles")))
       .select(col("doc_id"),
         posexplode(expr(
@@ -257,7 +257,6 @@ object TextPipeline {
     * composes this into a foreachBatch sink). */
   def minhashPairsIncremental(newDocs: DataFrame, sigDir: String,
       minJ: Double, batchTag: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = newDocs.sparkSession
     graft.spark.GraftFunctions.register(spark)
     val shPath = s"$sigDir/shingles"
@@ -285,6 +284,28 @@ object TextPipeline {
     val storedBands =
       if (bandStored.nonEmpty) spark.read.parquet(bandStored: _*)
       else newBands.limit(0)
+    val result =
+      incrementalPairs(newSh, newBands, storedSh, storedBands, minJ)
+        .localCheckpoint()
+    batchTag match {
+      case Some(tag) =>
+        newSh.write.mode("overwrite").parquet(s"$shPath/$tag")
+        newBands.write.mode("overwrite").parquet(s"$bandPath/$tag")
+      case None =>
+        newSh.write.mode("append").parquet(shPath)
+        newBands.write.mode("append").parquet(bandPath)
+    }
+    newSh.unpersist(false)
+    result
+  }
+
+  /** The incremental operator's lazy core (PlanSpec gates its shape):
+    * semi-prune stored bands to the new batch's keys, spillable per-key
+    * `BandCap` window rank, ≥1-new-side candidate pairs deduped as id
+    * pairs, narrow shingle rejoin, exact-Jaccard verify. */
+  private[graft] def incrementalPairs(newSh: DataFrame, newBands: DataFrame,
+      storedSh: DataFrame, storedBands: DataFrame, minJ: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // only history rows sharing a band key with the new batch can pair
     val touched = storedBands
       .join(newBands.select("band").distinct(), Seq("band"), "left_semi")
@@ -299,24 +320,13 @@ object TextPipeline {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     val allSh = newSh.unionByName(storedSh)
-    val result = candIds
+    candIds
       .join(allSh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(allSh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
       .withColumn("jac",
         expr("size(array_intersect(sh_a, sh_b)) / size(array_union(sh_a, sh_b))"))
       .filter(col("jac") >= minJ)
       .select("id_a", "id_b")
-      .localCheckpoint()
-    batchTag match {
-      case Some(tag) =>
-        newSh.write.mode("overwrite").parquet(s"$shPath/$tag")
-        newBands.write.mode("overwrite").parquet(s"$bandPath/$tag")
-      case None =>
-        newSh.write.mode("append").parquet(shPath)
-        newBands.write.mode("append").parquet(bandPath)
-    }
-    newSh.unpersist(false)
-    result
   }
 
   /** Exact n-gram Jaccard pairs (the dedup correctness oracle path):

@@ -127,6 +127,31 @@ class PlanSpec extends AnyFunSuite {
     assert(badExchange.isEmpty, s"candidate shuffle carries shingle payload:\n$p")
   }
 
+  test("incremental dedup semi-prunes stored history and window-caps band keys") {
+    import spark.implicits._
+    graft.spark.GraftFunctions.register(spark)
+    val mk = (ids: Range) => ids
+      .map(i => (i.toLong, s"word${i % 37} and some shared text body number ${i % 9} tail"))
+      .toDF("doc_id", "text")
+    val newSh = TextPipeline.withShingles(mk(200 until 300))
+      .select(col("doc_id"), col("shingles"))
+    val storedSh = TextPipeline.withShingles(mk(0 until 200))
+      .select(col("doc_id"), col("shingles"))
+    val p = plan(TextPipeline.incrementalPairs(
+      newSh, TextPipeline.minhashBands(newSh),
+      storedSh, TextPipeline.minhashBands(storedSh), 0.6))
+    // stored bands must be pruned to the batch's band keys BEFORE the
+    // candidate join — at 100 TB the history side is the whole corpus
+    assert(p.contains("LeftSemi"), s"missing stored-history semi-prune:\n$p")
+    // the per-key cap is a spillable window rank, not a collect_list buffer
+    assert(p.contains("row_number"), s"missing window cap:\n$p")
+    assert(!p.contains("collect_list"), s"whole-key aggregation buffer:\n$p")
+    // candidate shuffles stay narrow: no exchange keyed on band/ids may
+    // carry the shingle arrays
+    val badExchange = "hashpartitioning\\((?:band|id_a)[^\\n]*shingles".r.findFirstIn(p)
+    assert(badExchange.isEmpty, s"candidate shuffle carries shingle payload:\n$p")
+  }
+
   test("politeness window is two-phase (salted partial then exact per-host)") {
     import spark.implicits._
     val unseen = (0 until 1000)
