@@ -183,25 +183,49 @@ object Similarity {
     * the bound that keeps the query alive until then. */
   val IvfCellCap = 1024
 
+  /** Corpus → cell assignment as ONE zero-exchange narrow projection:
+    * the whole quantizer rides as a 1-row broadcast array (sorted by cell,
+    * so strict `>` under ascending order reproduces the cos DESC / cell ASC
+    * tie-break) and each vector computes its argmax cell row-wise. Round 5:
+    * this replaces a 16×-explode + window argmax — the per-vector window
+    * forced a corpus-sized hash(vec_id) exchange AND 16n broadcast-join
+    * rows, the only assignment-side shuffle that grew with the corpus. */
+  private def assignCells(emb: DataFrame, cent: DataFrame): DataFrame = {
+    val centArr = cent
+      .agg(sort_array(collect_list(struct(col("cell"), col("centroid"))))
+        .as("cents"))
+    emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centArr))
+      .select(col("vec_id"), expr(
+        s"""aggregate(
+              transform(cents, c ->
+                struct(${cosineSql("embedding", "c.centroid")} AS ccos,
+                       c.cell AS cell)),
+              cast(named_struct('ccos', -2.0, 'cell', -1)
+                   as struct<ccos:double, cell:bigint>),
+              (acc, s) -> IF(s.ccos > acc.ccos, s, acc),
+              acc -> acc.cell)""").as("cell"))
+  }
+
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
       nCells: Int = 16, nProbe: Int = 4, cellCap: Int = IvfCellCap): DataFrame = {
     val cent = emb.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
-    // one broadcast cross join scores every vector against all centroids;
-    // window argmax (cos DESC, cell ASC tie-break) gives the assignment
-    val scoredCells = emb.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cent))
-      .withColumn("ccos", expr(cosineSql("embedding", "centroid")))
-      .select("vec_id", "cell", "ccos")
-    val wCell = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell").asc)
-    val ranked = scoredCells.withColumn("r", row_number().over(wCell))
-    val assigned = ranked.filter(col("r") === 1).select("vec_id", "cell")
+    val assigned = assignCells(emb, cent)
     // deterministic sorted-slice cell cap: bounds every probed list at
     // cellCap candidates no matter how degenerate the centroid
     val capped = assigned.groupBy("cell")
       .agg(slice(sort_array(collect_list(col("vec_id"))), 1, cellCap).as("ids"))
       .select(col("cell"), explode(col("ids")).as("vec_id"))
-    val probes = ranked.filter(col("vec_id") < nQueries && col("r") <= nProbe)
+    // only the QUERY subset ranks all cells for its nProbe list — the
+    // vec_id filter reaches the scan, so this window is over nQueries rows
+    val wCell = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell").asc)
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", expr(cosineSql("embedding", "centroid")))
+      .withColumn("r", row_number().over(wCell))
+      .filter(col("r") <= nProbe)
       .select(col("vec_id").as("query_id"), col("cell"))
     val candIds = probes.join(capped, Seq("cell"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
@@ -215,12 +239,7 @@ object Similarity {
   def ivfMaxCell(emb: DataFrame, nCells: Int = 16): Long = {
     val cent = emb.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
-    val wCell = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell").asc)
-    emb.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cent))
-      .withColumn("ccos", expr(cosineSql("embedding", "centroid")))
-      .withColumn("r", row_number().over(wCell))
-      .filter(col("r") === 1)
+    assignCells(emb, cent)
       .groupBy("cell").count().agg(max("count")).collect()(0).getLong(0)
   }
 
