@@ -127,6 +127,40 @@ class CrawlSpec extends AnyFunSuite {
     assert(lastSeen == oracleSeen)
   }
 
+  test("legacy/untagged bloom sidecar is discarded on resume (key-space guard)") {
+    import spark.implicits._
+    val (oracleRounds, oracleSeen) =
+      OracleCrawler.crawl(seed, rounds = 4, budgetPerHost = 2, discoverOracle)
+    val root = Files.createTempDirectory("crawl_bloom_legacy").toString
+    val disc = (sched: org.apache.spark.sql.DataFrame) => Some(
+      sched.select(
+        concat(col("url"), lit("/c")).as("url"),
+        col("host"),
+        pmod(col("priority") + 3, lit(5)).cast("int").as("priority"),
+        (col("seq") + 10000).cast("long").as("seq")))
+    Frontier.crawl(spark, root, toDf(seed), rounds = 2, budgetPerHost = 2,
+      bloomBits = 1L << 20, discover = disc)
+    // simulate a pre-header sidecar: a raw-url-STRING-keyed filter with no
+    // key-space tag — probed via xxhash64(url) longs it returns noise, and
+    // bloom false negatives would silently skip the exact anti-join and
+    // reschedule already-seen urls
+    val p = java.nio.file.Paths.get(s"${Frontier.snapshotDir(root, 1)}/bloom.bin")
+    val legacy = spark.read.parquet(s"${Frontier.snapshotDir(root, 1)}/seen")
+      .stat.bloomFilter("url", 1000000L, 1L << 20)
+    val bos = new java.io.ByteArrayOutputStream()
+    legacy.writeTo(bos)
+    java.nio.file.Files.write(p, bos.toByteArray)
+    assert(Frontier.readTaggedBloom(p).isEmpty, "untagged sidecar must be rejected")
+    // resume: the rejected sidecar forces a rebuild from the seen table, so
+    // the remaining rounds still reproduce the oracle exactly
+    Frontier.crawl(spark, root, toDf(seed), rounds = 4, budgetPerHost = 2,
+      bloomBits = 1L << 20, discover = disc)
+    val lastSeen = spark.read
+      .parquet(s"${Frontier.snapshotDir(root, oracleRounds.length - 1)}/seen")
+      .collect().map(_.getString(0)).toSet
+    assert(lastSeen == oracleSeen)
+  }
+
   test("checkpoint resume: restart mid-crawl reproduces identical final state") {
     import spark.implicits._
     val root = Files.createTempDirectory("crawl_resume").toString
