@@ -183,14 +183,34 @@ object Similarity {
     * the bound that keeps the query alive until then. */
   val IvfCellCap = 1024
 
-  /** Corpus → cell assignment as ONE zero-exchange narrow projection:
-    * the whole quantizer rides as a 1-row broadcast array (sorted by cell,
-    * so strict `>` under ascending order reproduces the cos DESC / cell ASC
-    * tie-break) and each vector computes its argmax cell row-wise. Round 5:
-    * this replaces a 16×-explode + window argmax — the per-vector window
-    * forced a corpus-sized hash(vec_id) exchange AND 16n broadcast-join
-    * rows, the only assignment-side shuffle that grew with the corpus. */
-  private def assignCells(emb: DataFrame, cent: DataFrame): DataFrame = {
+  /** Corpus → cell assignment as ONE zero-exchange codegen'd projection:
+    * the quantizer is COLLECTED (bounded by nCells — a trained production
+    * quantizer arrives as exactly this kind of small driver-side data, the
+    * same transport class as the crawl's URL-seen bloom) and rides to
+    * executors as one broadcast probed by the native `ivf_assign_bc`
+    * expression. Round 5: this replaces a 16×-explode + window argmax —
+    * the per-vector window forced a corpus-sized hash(vec_id) exchange AND
+    * 16n broadcast-join rows, the only assignment-side shuffle that grew
+    * with the corpus; an intermediate SQL-HOF fold (kept below as
+    * [[assignCellsSql]], the documented/differential shape) was rejected
+    * because AQE stage planning re-materializes an exchange-free
+    * interpreted fold ~2-3×. Bit-exact vs the SQL form (PipelineSpec). */
+  private[graft] def assignCells(emb: DataFrame, cent: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    val rows = cent.orderBy("cell").collect()
+    val q = graft.spark.IvfQuantizer.build(
+      rows.map(_.getLong(0)),
+      rows.map(_.getSeq[Float](1).toArray))
+    emb.select(col("vec_id"),
+      graft.spark.GraftFunctions.ivf_assign_bc(spark, "ivf-quantizer", q,
+        col("embedding")).as("cell"))
+  }
+
+  /** The assignment's documented SQL shape — the mirror of the DuckDB
+    * oracle and the differential gate for the native kernel (PipelineSpec
+    * asserts row-for-row equality with [[assignCells]]); not on the
+    * runtime path. */
+  private[graft] def assignCellsSql(emb: DataFrame, cent: DataFrame): DataFrame = {
     val centArr = cent
       .agg(sort_array(collect_list(struct(col("cell"), col("centroid"))))
         .as("cents"))

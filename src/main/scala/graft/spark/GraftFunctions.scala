@@ -68,6 +68,9 @@ object GraftFunctions {
     add("bloom_might_contain_bc")(es => graft.crawl.BloomMightContainBc(es(1),
       graft.crawl.BloomBroadcasts.get(
         es(0).eval(org.apache.spark.sql.catalyst.InternalRow.empty).toString)))
+    add("ivf_assign_bc")(es => IvfAssignBc(es(1),
+      IvfBroadcasts.get(
+        es(0).eval(org.apache.spark.sql.catalyst.InternalRow.empty).toString)))
     add("canonicalize_url")(es => graft.crawl.CanonicalizeUrl(es(0), es(1)))
     add("url_host")(es => graft.crawl.UrlHostExpr(es.head))
     // Spark's bloom-filter expressions exist in catalyst (used by runtime
@@ -150,6 +153,15 @@ object GraftFunctions {
     val bc = spark.sparkContext.broadcast(bloom)
     val key = graft.crawl.BloomBroadcasts.install(slot, bc)
     call_function("bloom_might_contain_bc", lit(key), hash)
+  }
+  /** argmax-cosine IVF cell over a broadcast-carried quantizer (see
+    * [[IvfAssignBc]]). One live broadcast per `slot`. */
+  def ivf_assign_bc(spark: SparkSession, slot: String, q: IvfQuantizer,
+      embedding: Column): Column = {
+    register(spark)
+    val bc = spark.sparkContext.broadcast(q)
+    val key = IvfBroadcasts.install(slot, bc)
+    call_function("ivf_assign_bc", lit(key), embedding)
   }
   def canonicalize_url(url: Column, base: Column): Column =
     call_function("canonicalize_url", url, base)

@@ -312,3 +312,108 @@ case class TextLangStats(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): TextLangStats =
     copy(child = c)
 }
+
+/** IVF coarse quantizer carried to executors as ONE broadcast value:
+  * `cells` sorted ASC (the argmax tie-break order), `norms(i)` =
+  * sqrt(dot(cents(i), cents(i))) precomputed with the same sequential
+  * double fold the SQL form uses, so reuse is bit-exact. */
+case class IvfQuantizer(cells: Array[Long], cents: Array[Array[Float]],
+    norms: Array[Double])
+
+object IvfQuantizer {
+  def build(cells: Array[Long], vecs: Array[Array[Float]]): IvfQuantizer = {
+    val norms = vecs.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { val x = v(i).toDouble; s += x * x; i += 1 }
+      java.lang.Math.sqrt(s)
+    }
+    IvfQuantizer(cells, vecs, norms)
+  }
+
+  /** argmax-cosine cell of `e` over the quantizer ≡ the documented SQL
+    * fold in [[graft.pipeline.Similarity.assignCellsSql]] (PipelineSpec
+    * differential): cosine = dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b)))
+    * in sequential double arithmetic; strict greater-than under
+    * [[java.lang.Double#compare]] (= Spark's SQLOrderingUtil double
+    * ordering) over cells ascending reproduces the cos DESC / cell ASC
+    * tie-break; zero element (-2.0, -1) as in the SQL. */
+  def assign(e: ArrayData, q: IvfQuantizer): Long = {
+    val dim = e.numElements()
+    var ee = 0.0
+    var i = 0
+    while (i < dim) { val x = e.getFloat(i).toDouble; ee += x * x; i += 1 }
+    val normE = java.lang.Math.sqrt(ee)
+    var best = -2.0
+    var bestCell = -1L
+    var c = 0
+    while (c < q.cells.length) {
+      val cv = q.cents(c)
+      val n = if (cv.length < dim) cv.length else dim
+      var dot = 0.0
+      var k = 0
+      while (k < n) { dot += e.getFloat(k).toDouble * cv(k).toDouble; k += 1 }
+      val cos = dot / (normE * q.norms(c))
+      if (java.lang.Double.compare(cos, best) > 0) { best = cos; bestCell = q.cells(c) }
+      c += 1
+    }
+    bestCell
+  }
+}
+
+/** Driver-side registry carrying [[IvfQuantizer]] broadcast handles into
+  * the function-registry builder — same transport as the URL-seen bloom
+  * ([[graft.crawl.BloomBroadcasts]]): one live broadcast per slot, the
+  * previous quantizer's executor copies released on re-install. */
+object IvfBroadcasts {
+  private val byKey = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.broadcast.Broadcast[IvfQuantizer]]()
+  private val slotKey =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def install(slot: String,
+      bc: org.apache.spark.broadcast.Broadcast[IvfQuantizer]): String = {
+    val key = s"$slot#${bc.id}"
+    byKey.put(key, bc)
+    val old = slotKey.put(slot, key)
+    if (old != null && old != key) {
+      val ob = byKey.remove(old)
+      if (ob != null) ob.unpersist(false)
+    }
+    key
+  }
+
+  def get(key: String): org.apache.spark.broadcast.Broadcast[IvfQuantizer] = {
+    val bc = byKey.get(key)
+    require(bc != null, s"no IVF quantizer broadcast registered under '$key'")
+    bc
+  }
+}
+
+/** `ivf_assign_bc(key, embedding)` → argmax-cosine cell id over a
+  * broadcast-carried quantizer — the IVF assignment as ONE codegen'd
+  * narrow expression: zero exchanges, no 16×-row explode, and the
+  * interpreted HOF fold (whose re-materialization across AQE stages
+  * doubled q_ann_ivf's wall) becomes a static JVM loop. */
+case class IvfAssignBc(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[IvfQuantizer])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  @transient private lazy val quant = bc.value
+
+  override protected def nullSafeEval(e: Any): Any =
+    IvfQuantizer.assign(e.asInstanceOf[ArrayData], quant)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("ivfQuantBc", bc,
+      "org.apache.spark.broadcast.Broadcast")
+    val q = ctx.addMutableState("graft.spark.IvfQuantizer", "ivfQuant",
+      v => s"$v = (graft.spark.IvfQuantizer) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, e =>
+      s"${ev.value} = graft.spark.IvfQuantizer.assign($e, $q);")
+  }
+
+  override def prettyName: String = "ivf_assign_bc"
+  override protected def withNewChildInternal(c: Expression): IvfAssignBc =
+    copy(child = c)
+}

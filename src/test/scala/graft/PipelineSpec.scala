@@ -90,6 +90,17 @@ class PipelineSpec extends AnyFunSuite {
     assertEquals(TextPipeline.minhashPairs(corpus.unionByName(extra), minJ = 0.6))
   }
 
+  test("native ivf_assign_bc equals the documented SQL-fold assignment") {
+    graft.spark.GraftFunctions.register(spark)
+    val emb = Similarity.embeddings(spark, sf)
+    val cent = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    val native = Similarity.assignCells(emb, cent)
+    val sql = Similarity.assignCellsSql(emb, cent)
+    assert(native.join(sql, Seq("vec_id", "cell")).count() == emb.count(),
+      "native assignment diverges from the SQL fold")
+  }
+
   test("native simhash_bits equals the documented SQL-HOF simhash") {
     graft.spark.GraftFunctions.register(spark)
     val corpus = TextPipeline.withSyntheticDups(TextPipeline.documents(spark, sf))
