@@ -106,9 +106,13 @@ object Similarity {
     }
     val sig = emb.withColumn("sigs", array(tables: _*))
       .select(col("vec_id"), posexplode(col("sigs")).as(Seq("tbl", "bits")))
-    val corpusSide = sig.groupBy("tbl", "bits")
-      .agg(slice(sort_array(collect_list(col("vec_id"))), 1, maxBucket).as("ids"))
-      .select(col("tbl"), col("bits"), explode(col("ids")).as("neighbor_id"))
+    // r5: spillable window rank (same capped set as the former
+    // sort_array(collect_list) slice) — a degenerate bucket never
+    // materializes as one aggregation buffer
+    val wBucket = Window.partitionBy("tbl", "bits").orderBy("vec_id")
+    val corpusSide = sig.withColumn("rn", row_number().over(wBucket))
+      .filter(col("rn") <= maxBucket)
+      .select(col("tbl"), col("bits"), col("vec_id").as("neighbor_id"))
     val probeBits = col("bits") +:
       (0 until bitsPerTable).map(b => col("bits").bitwiseXOR(lit(1L << b)))
     val probes = sig.filter(col("vec_id") < nQueries)
@@ -233,10 +237,11 @@ object Similarity {
       .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
     val assigned = assignCells(emb, cent)
     // deterministic sorted-slice cell cap: bounds every probed list at
-    // cellCap candidates no matter how degenerate the centroid
-    val capped = assigned.groupBy("cell")
-      .agg(slice(sort_array(collect_list(col("vec_id"))), 1, cellCap).as("ids"))
-      .select(col("cell"), explode(col("ids")).as("vec_id"))
+    // cellCap candidates no matter how degenerate the centroid (r5:
+    // spillable window rank, same set — no whole-cell aggregation buffer)
+    val wCap = Window.partitionBy("cell").orderBy("vec_id")
+    val capped = assigned.withColumn("rn", row_number().over(wCap))
+      .filter(col("rn") <= cellCap).select("cell", "vec_id")
     // only the QUERY subset ranks all cells for its nProbe list — the
     // vec_id filter reaches the scan, so this window is over nQueries rows
     val wCell = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell").asc)

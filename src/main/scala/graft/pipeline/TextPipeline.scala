@@ -35,11 +35,18 @@ object TextPipeline {
   val BandCap = 1024
 
   /** Sorted-slice cap on a (key, doc_id) band table: ≤ `cap` smallest doc
-    * ids survive per key — the band join is then bounded at cap² per key. */
-  private def capBands(bands: DataFrame, keyCol: String, cap: Int): DataFrame =
-    bands.groupBy(keyCol)
-      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, cap).as("ids"))
-      .select(col(keyCol), explode(col("ids")).as("doc_id"))
+    * ids survive per key — the band join is then bounded at cap² per key.
+    * r5 shape: a spillable window rank (same set as the former
+    * `sort_array(collect_list)` slice, oracle unchanged) — an over-cap
+    * band key no longer materializes as ONE aggregation buffer, the
+    * executor-OOM class the near-dup cap closed first; WindowExec sorts
+    * per partition and spills. */
+  private def capBands(bands: DataFrame, keyCol: String, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy("doc_id")
+    bands.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap).select(keyCol, "doc_id")
+  }
 
   // --- shared SQL snippets (mirrored verbatim in the DuckDB oracles) --------
 
