@@ -745,6 +745,16 @@ object SparkEntry {
       Similarity.ivfTopK(Similarity.embeddings(s, dir), nQueries = 20, k = 5)
         .orderBy("query_id", "rank")),
 
+    // low-cap variant (cellCap=16 BINDS at sf0.01: 14 of 16 cells exceed
+    // it, max 42) that oracle-gates the r5 hot-cell SPLIT path: an
+    // over-cap cell fans out into deterministic LSH sub-cells (every
+    // member stays searchable, probes take the exact sub + 1-bit flips)
+    // instead of dropping its over-cap members
+    "q_ann_ivf_hot" -> ((s, dir) =>
+      Similarity.ivfTopK(Similarity.embeddings(s, dir), nQueries = 20, k = 5,
+        cellCap = 16, maxSubBits = 2)
+        .orderBy("query_id", "rank")),
+
     "q_multimodal_decode" -> ((s, dir) =>
       graft.pipeline.Multimodal.withDecoded(
         graft.pipeline.Multimodal.mediaTable(s, dir))
@@ -1251,14 +1261,20 @@ object SparkEntry {
     (0 until 64).map(d => graft.spark.PipelineExprOps.planeVal(j, d).toString)
       .mkString("[", ", ", "]")
 
-  private def dLshBucket(vec: String, nBits: Int) =
-    (0 until nBits).map { j =>
+  /** DuckDB mirror of the native `lsh_bits(vec, jStart, nBits)` kernel:
+    * bit b (value 1<<b) set iff the sequential double fold of
+    * vec·plane(jStart+b) is ≥ 0 — plane literals from the same
+    * `planeVal` single source as the kernel. */
+  private def dLshBitsAt(vec: String, jStart: Int, nBits: Int) =
+    (0 until nBits).map { b =>
       s"""CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
-            list_transform(list_zip($vec, ${dPlaneList(j)}),
+            list_transform(list_zip($vec, ${dPlaneList(jStart + b)}),
               t -> t[1]::DOUBLE * t[2]::DOUBLE)),
             (acc, v) -> acc + v) >= 0.0
-          THEN ${1L << j}::BIGINT ELSE 0::BIGINT END"""
+          THEN ${1L << b}::BIGINT ELSE 0::BIGINT END"""
     }.mkString(" + ")
+
+  private def dLshBucket(vec: String, nBits: Int) = dLshBitsAt(vec, 0, nBits)
 
   private def pipelineOracles: Map[String, String] = {
     val langScores = TextPipeline.langMarkers.map { case (lang, markers) =>
@@ -1501,6 +1517,64 @@ object SparkEntry {
             cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
                      FROM probes p JOIN capped a USING (cell)
                      WHERE p.query_id <> a.vec_id),
+            scored AS (SELECT query_id, neighbor_id,
+                              ${dCosine("qe.embedding", "ce.embedding")} AS cos
+                       FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+                                 JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
+            ranked AS (SELECT query_id, neighbor_id,
+                              row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rank
+                       FROM scored)
+            SELECT query_id, neighbor_id, cast(rank as bigint) AS rank
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+      "q_ann_ivf_hot" ->
+        // exact mirror of Similarity.ivfTopK(cellCap=16, maxSubBits=2):
+        // cells past the cap split into LSH sub-cells on planes
+        // j=40..41 (bit widths from a pure-integer case chain), members
+        // key on (cell, sub_full & mask), the cap guards each (cell, sub),
+        // probes take the exact masked sub + every 1-bit flip within the
+        // cell's bit width, exact cosine re-rank
+        s"""WITH cent AS (SELECT vec_id AS cell, embedding AS centroid
+                          FROM embeddings WHERE vec_id < 16),
+            sc AS (SELECT e.vec_id, c.cell,
+                          ${dCosine("e.embedding", "c.centroid")} AS ccos
+                   FROM embeddings e CROSS JOIN cent c),
+            rk AS (SELECT vec_id, cell,
+                          row_number() OVER (PARTITION BY vec_id
+                            ORDER BY ccos DESC, cell ASC) AS r
+                   FROM sc),
+            assigned AS (SELECT vec_id, cell FROM rk WHERE r = 1),
+            subf AS (SELECT vec_id,
+                            ${dLshBitsAt("embedding", Similarity.IvfSplitPlaneStart, 2)}
+                              AS sub_full
+                     FROM embeddings),
+            bits AS (SELECT cell,
+                            CASE WHEN count(*) <= 16 THEN 0
+                                 WHEN count(*) <= 32 THEN 1
+                                 ELSE 2 END AS sub_bits
+                     FROM assigned GROUP BY cell),
+            members AS (SELECT a.vec_id, a.cell,
+                               s.sub_full & ((1::BIGINT << b.sub_bits) - 1) AS sub
+                        FROM assigned a JOIN bits b USING (cell)
+                                        JOIN subf s USING (vec_id)),
+            capped AS (SELECT cell, sub, vec_id
+                       FROM (SELECT cell, sub, vec_id,
+                                    row_number() OVER (PARTITION BY cell, sub
+                                      ORDER BY vec_id) AS rn
+                             FROM members)
+                       WHERE rn <= 16),
+            probes0 AS (SELECT rk.vec_id AS query_id, rk.cell, b.sub_bits,
+                               s.sub_full & ((1::BIGINT << b.sub_bits) - 1) AS qsub
+                        FROM rk JOIN bits b USING (cell)
+                                JOIN subf s ON s.vec_id = rk.vec_id
+                        WHERE rk.vec_id < 20 AND rk.r <= 4),
+            probes AS (SELECT query_id, cell,
+                              unnest(list_slice([qsub, xor(qsub, 1), xor(qsub, 2)],
+                                                1, sub_bits + 1)) AS sub
+                       FROM probes0),
+            cand AS (SELECT DISTINCT p.query_id, m.vec_id AS neighbor_id
+                     FROM probes p JOIN capped m USING (cell, sub)
+                     WHERE p.query_id <> m.vec_id),
             scored AS (SELECT query_id, neighbor_id,
                               ${dCosine("qe.embedding", "ce.embedding")} AS cos
                        FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id

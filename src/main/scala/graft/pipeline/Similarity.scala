@@ -180,12 +180,28 @@ object Similarity {
     * (e.g. the zero-vector cell every boilerplate embedding lands in) makes
     * one inverted list a constant fraction of the corpus, so a probe into
     * it rescores O(corpus) candidates — the straggler class the LSH and
-    * near-dup bucket caps already guard. Sorted-slice (vec_id ASC) keeps
-    * the cap deterministic and DuckDB-oracle-mirrored; the bench reports
-    * `ivf_max_cell` beside it so a binding cap is visible, never silent.
-    * Production swaps the slice for re-clustering the hot cell; the cap is
-    * the bound that keeps the query alive until then. */
+    * near-dup bucket caps already guard. r5: a cell that exceeds the cap is
+    * no longer sliced (the slice dropped over-cap members from search
+    * entirely — a recall hole, not just a straggler); it SPLITS into
+    * deterministic LSH sub-cells (see [[ivfTopK]]), and the cap survives
+    * only as the per-(cell, sub) guard for the pathological case where
+    * [[IvfMaxSubBits]] is exhausted. The bench reports `ivf_max_cell` and
+    * `ivf_max_subcell` beside it so a binding guard is visible, never
+    * silent. Production recurses the split (or re-trains the quantizer);
+    * one parameterized level is the bound that keeps the query alive until
+    * then. */
   val IvfCellCap = 1024
+
+  /** Hyperplane index base for the hot-cell split signature — clear of the
+    * 8×3 ANN-table planes (j 0..23) and the 12 near-dup planes (j 24 is
+    * unused; near-dup uses 0..11), and inside `PipelineExprOps`' cached
+    * j < 64 hot range. */
+  val IvfSplitPlaneStart = 40
+
+  /** Max sub-cell bits for one split level: a hot cell fans out into at
+    * most 2^4 = 16 sub-cells, so one level absorbs cells up to 16× the cap
+    * with zero recall loss (every member stays searchable). */
+  val IvfMaxSubBits = 4
 
   /** Corpus → cell assignment as ONE zero-exchange codegen'd projection:
     * the quantizer is COLLECTED (bounded by nCells — a trained production
@@ -231,41 +247,113 @@ object Similarity {
               acc -> acc.cell)""").as("cell"))
   }
 
+  /** Per-cell sub-bit width for one split level: the smallest b with
+    * `cnt ≤ cap·2^b`, capped at maxSubBits — a pure INTEGER case chain, so
+    * the DuckDB mirror can never drift on float log/ceil rounding. */
+  private def subBitsCase(cnt: org.apache.spark.sql.Column, cellCap: Int,
+      maxSubBits: Int): org.apache.spark.sql.Column =
+    (0 until maxSubBits).foldRight(lit(maxSubBits)) { (b, rest) =>
+      when(cnt <= cellCap.toLong * (1L << b), lit(b)).otherwise(rest)
+    }
+
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
-      nCells: Int = 16, nProbe: Int = 4, cellCap: Int = IvfCellCap): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 4, cellCap: Int = IvfCellCap,
+      maxSubBits: Int = IvfMaxSubBits): DataFrame = {
+    graft.spark.GraftFunctions.register(emb.sparkSession)
+    val spark = emb.sparkSession
     val cent = emb.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
-    val assigned = assignCells(emb, cent)
-    // deterministic sorted-slice cell cap: bounds every probed list at
-    // cellCap candidates no matter how degenerate the centroid (r5:
-    // spillable window rank, same set — no whole-cell aggregation buffer)
-    val wCap = Window.partitionBy("cell").orderBy("vec_id")
-    val capped = assigned.withColumn("rn", row_number().over(wCap))
-      .filter(col("rn") <= cellCap).select("cell", "vec_id")
+    // ONE zero-exchange pass computes the cell AND the full split signature
+    // (the sub bits cost nothing when no cell is hot — they only ever gate
+    // a join key)
+    val centRows = cent.orderBy("cell").collect()
+    val q = graft.spark.IvfQuantizer.build(
+      centRows.map(_.getLong(0)),
+      centRows.map(_.getSeq[Float](1).toArray))
+    val assigned = emb.select(col("vec_id"),
+      graft.spark.GraftFunctions.ivf_assign_bc(spark, "ivf-quantizer", q,
+        col("embedding")).as("cell"),
+      graft.spark.GraftFunctions.lsh_bits(col("embedding"),
+        IvfSplitPlaneStart, maxSubBits).as("sub_full"))
+    // hot-cell split (r5, closes the PLANS.md residual): a cell past the
+    // cap fans out into 2^b deterministic LSH sub-cells (smallest b that
+    // brings the EXPECTED sub-cell under the cap) instead of dropping its
+    // over-cap members from search; near vectors share sub-bits with high
+    // probability, and the query multi-probes 1-bit flips, so recall
+    // degrades gracefully instead of cliffing at the cap. The per-cell bit
+    // widths ride in an nCells-row broadcast — the same transport as a
+    // trained quantizer.
+    val cellBits = assigned.groupBy("cell").agg(count(lit(1)).as("cnt"))
+      .select(col("cell"), subBitsCase(col("cnt"), cellCap, maxSubBits).as("sub_bits"))
+    val members = assigned.join(broadcast(cellBits), Seq("cell"))
+      .withColumn("sub", col("sub_full")
+        .bitwiseAND(expr("shiftleft(1L, sub_bits) - 1L")))
+    // the cap survives as the per-(cell, sub) GUARD for maxSubBits
+    // exhaustion (cell > 2^maxSubBits × cap): spillable window rank, never
+    // a whole-key aggregation buffer; `ivf_max_subcell` reports whether it
+    // binds
+    val wCap = Window.partitionBy("cell", "sub").orderBy("vec_id")
+    val capped = members.withColumn("rn", row_number().over(wCap))
+      .filter(col("rn") <= cellCap).select("cell", "sub", "vec_id")
     // only the QUERY subset ranks all cells for its nProbe list — the
     // vec_id filter reaches the scan, so this window is over nQueries rows
     val wCell = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell").asc)
+    val probeFlips = col("qsub") +: (0 until maxSubBits)
+      .map(b => col("qsub").bitwiseXOR(lit(1L << b)))
     val probes = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cent))
       .withColumn("ccos", expr(cosineSql("embedding", "centroid")))
       .withColumn("r", row_number().over(wCell))
       .filter(col("r") <= nProbe)
-      .select(col("vec_id").as("query_id"), col("cell"))
-    val candIds = probes.join(capped, Seq("cell"))
+      .select(col("vec_id").as("query_id"), col("cell"),
+        graft.spark.GraftFunctions.lsh_bits(col("embedding"),
+          IvfSplitPlaneStart, maxSubBits).as("qsub_full"))
+      .join(broadcast(cellBits), Seq("cell"))
+      .withColumn("qsub", col("qsub_full")
+        .bitwiseAND(expr("shiftleft(1L, sub_bits) - 1L")))
+      // probe the exact sub-cell + every 1-bit flip WITHIN the cell's bit
+      // width: slice(…, 1, sub_bits + 1) keeps [exact] for a cold cell
+      // (sub_bits = 0) and [exact, flip b0 … flip b(n-1)] for a hot one
+      .withColumn("sub", explode(
+        slice(array(probeFlips: _*), lit(1), col("sub_bits") + 1)))
+      .select(col("query_id"), col("cell"), col("sub"))
+    val candIds = probes.join(capped, Seq("cell", "sub"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .distinct()
     rerank(candIds, emb, k)
   }
 
-  /** Max IVF cell population (pre-cap) — the bench reports this beside
+  /** Max IVF cell population (pre-split) — the bench reports this beside
     * [[IvfCellCap]] (binding caps visible, not silent). */
   def ivfMaxCell(emb: DataFrame, nCells: Int = 16): Long = {
     val cent = emb.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
     assignCells(emb, cent)
       .groupBy("cell").count().agg(max("count")).collect()(0).getLong(0)
+  }
+
+  /** Max IVF (cell, sub) population AFTER the hot-cell split — the list
+    * size a probe actually rescores, and the guard audit for the residual
+    * per-(cell, sub) cap: the guard binds iff this exceeds [[IvfCellCap]]
+    * (i.e. a cell blew through all [[IvfMaxSubBits]] split bits). */
+  def ivfMaxSubcell(emb: DataFrame, nCells: Int = 16,
+      cellCap: Int = IvfCellCap, maxSubBits: Int = IvfMaxSubBits): Long = {
+    graft.spark.GraftFunctions.register(emb.sparkSession)
+    val cent = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    val assigned = assignCells(emb, cent)
+      .join(emb.select(col("vec_id"),
+        graft.spark.GraftFunctions.lsh_bits(col("embedding"),
+          IvfSplitPlaneStart, maxSubBits).as("sub_full")), Seq("vec_id"))
+    val cellBits = assigned.groupBy("cell").agg(count(lit(1)).as("cnt"))
+      .select(col("cell"), subBitsCase(col("cnt"), cellCap, maxSubBits).as("sub_bits"))
+    assigned.join(broadcast(cellBits), Seq("cell"))
+      .withColumn("sub", col("sub_full")
+        .bitwiseAND(expr("shiftleft(1L, sub_bits) - 1L")))
+      .groupBy("cell", "sub").count()
+      .agg(max("count")).collect()(0).getLong(0)
   }
 
   /** Embedding near-dup pairs: constructed perturbed copies (id+1000000,

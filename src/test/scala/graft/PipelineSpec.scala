@@ -201,6 +201,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"IVF recall@5 too low: $recall")
   }
 
+  test("IVF hot-cell split: binding cap splits cells, drops no member, keeps recall") {
+    graft.spark.GraftFunctions.register(spark)
+    val emb = Similarity.embeddings(spark, sf)
+    val n = emb.count()
+    // cellCap=16 binds at this sf → hot cells split into up-to-4 LSH
+    // sub-cells
+    val maxCell = Similarity.ivfMaxCell(emb)
+    val maxSub = Similarity.ivfMaxSubcell(emb, cellCap = 16, maxSubBits = 2)
+    assert(maxCell > 16, s"cap must bind for this gate (max cell $maxCell)")
+    assert(maxSub < maxCell, s"split did not shrink the hottest list ($maxSub vs $maxCell)")
+    // membership preservation: the post-split capped inverted lists hold
+    // EVERY corpus member minus only what the (cell, sub) guard trims —
+    // the pre-r5 slice dropped max(0, cell - cap) members per hot cell
+    // from search entirely
+    val cent = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    val assigned = Similarity.assignCells(emb, cent)
+      .join(emb.select(col("vec_id"),
+        graft.spark.GraftFunctions.lsh_bits(col("embedding"),
+          Similarity.IvfSplitPlaneStart, 2).as("sub_full")), Seq("vec_id"))
+    val cellBits = assigned.groupBy("cell").agg(count(lit(1)).as("cnt"))
+      .select(col("cell"),
+        when(col("cnt") <= 16, lit(0)).when(col("cnt") <= 32, lit(1))
+          .otherwise(lit(2)).as("sub_bits"))
+    val wCap = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell", "sub").orderBy("vec_id")
+    val searchable = assigned.join(broadcast(cellBits), Seq("cell"))
+      .withColumn("sub", col("sub_full")
+        .bitwiseAND(expr("shiftleft(1L, sub_bits) - 1L")))
+      .withColumn("rn", row_number().over(wCap))
+      .filter(col("rn") <= 16).count()
+    val guardTrim = n - searchable
+    assert(guardTrim == 0 || maxSub > 16,
+      s"split dropped $guardTrim members with a non-binding guard")
+    val preSplitDrop = Similarity.assignCells(emb, cent)
+      .groupBy("cell").count()
+      .select(sum(greatest(col("count") - 16, lit(0)))).collect()(0).getLong(0)
+    assert(searchable > n - preSplitDrop,
+      "split must keep more members searchable than the pre-r5 slice did")
+    // and the split config still ranks usefully
+    val exact = Similarity.bruteForceTopK(emb, nQueries = 20, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hot = Similarity.ivfTopK(emb, nQueries = 20, k = 5,
+      cellCap = 16, maxSubBits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(hot).size.toDouble / exact.size
+    assert(recall >= 0.2, s"hot-split IVF recall@5 too low: $recall")
+  }
+
   test("embedding near-dup: every constructed dup pairs with its source") {
     val pairs = Similarity.embeddingNearDupPairs(Similarity.embeddings(spark, sf), 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
