@@ -281,10 +281,19 @@ object Similarity {
     // over-cap members from search; near vectors share sub-bits with high
     // probability, and the query multi-probes 1-bit flips, so recall
     // degrades gracefully instead of cliffing at the cap. The per-cell bit
-    // widths ride in an nCells-row broadcast — the same transport as a
-    // trained quantizer.
-    val cellBits = assigned.groupBy("cell").agg(count(lit(1)).as("cnt"))
-      .select(col("cell"), subBitsCase(col("cnt"), cellCap, maxSubBits).as("sub_bits"))
+    // widths are COLLECTED (nCells rows — inverted-list sizes are quantizer
+    // metadata, the same driver-side transport class as the trained
+    // quantizer itself) and rejoin as a LocalRelation: without this, each
+    // of the two joins below re-executes the whole counts subtree — two
+    // extra corpus scans, each re-running the quantizer per row (seen in
+    // the PlanDump of the first cut).
+    val cellBits = {
+      import spark.implicits._
+      assigned.groupBy("cell").agg(count(lit(1)).as("cnt"))
+        .select(col("cell"), subBitsCase(col("cnt"), cellCap, maxSubBits).as("sub_bits"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+        .toDF("cell", "sub_bits")
+    }
     val members = assigned.join(broadcast(cellBits), Seq("cell"))
       .withColumn("sub", col("sub_full")
         .bitwiseAND(expr("shiftleft(1L, sub_bits) - 1L")))
