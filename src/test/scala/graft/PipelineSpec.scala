@@ -223,8 +223,7 @@ class PipelineSpec extends AnyFunSuite {
           Similarity.IvfSplitPlaneStart, 2).as("sub_full")), Seq("vec_id"))
     val cellBits = assigned.groupBy("cell").agg(count(lit(1)).as("cnt"))
       .select(col("cell"),
-        when(col("cnt") <= 16, lit(0)).when(col("cnt") <= 32, lit(1))
-          .otherwise(lit(2)).as("sub_bits"))
+        Similarity.subBitsCase(col("cnt"), 16, 2).as("sub_bits"))
     val wCap = org.apache.spark.sql.expressions.Window
       .partitionBy("cell", "sub").orderBy("vec_id")
     val searchable = assigned.join(broadcast(cellBits), Seq("cell"))
