@@ -277,11 +277,20 @@ object Similarity {
     val q = graft.spark.IvfQuantizer.build(
       centRows.map(_.getLong(0)),
       centRows.map(_.getSeq[Float](1).toArray))
+    // persisted: the counts collect below and the members branch both
+    // consume it — without the cache each runs its own corpus scan with its
+    // own per-row quantizer pass (at 100 TB: re-reading the wide embedding
+    // column twice vs caching 24-byte rows once). Released via the
+    // localCheckpoint-then-unpersist pattern (same discipline as
+    // embeddingNearDupPairs' sig table). A/B at sf0.1 reads equal within
+    // window noise (1.77 vs 1.85 s in one congested window), so the scale
+    // argument decides.
     val assigned = emb.select(col("vec_id"),
       graft.spark.GraftFunctions.ivf_assign_bc(spark, "ivf-quantizer", q,
         col("embedding")).as("cell"),
       graft.spark.GraftFunctions.lsh_bits(col("embedding"),
         IvfSplitPlaneStart, maxSubBits).as("sub_full"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // hot-cell split (r5, closes the PLANS.md residual): a cell past the
     // cap fans out into 2^b deterministic LSH sub-cells (smallest b that
     // brings the EXPECTED sub-cell under the cap) instead of dropping its
@@ -334,10 +343,14 @@ object Similarity {
       .withColumn("sub", explode(
         slice(array(probeFlips: _*), lit(1), col("sub_bits") + 1)))
       .select(col("query_id"), col("cell"), col("sub"))
+    // materialize the id-pair candidates eagerly so the assigned cache is
+    // released here instead of leaking until session stop
     val candIds = probes.join(capped, Seq("cell", "sub"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .distinct()
+      .localCheckpoint()
+    assigned.unpersist(false)
     rerank(candIds, emb, k)
   }
 
