@@ -1567,14 +1567,26 @@ object SparkEntry {
                                       ORDER BY vec_id) AS rn
                              FROM members)
                        WHERE rn <= 16),
+            -- split-failure flag: a cell whose hottest sub-cell still
+            -- exceeds the cap (e.g. an identical-vector family collapsing
+            -- into one sub) makes its queries probe ALL 2^b subs
+            pall AS (SELECT cell, max(n) > 16 AS probe_all
+                     FROM (SELECT cell, sub, count(*) AS n
+                           FROM members GROUP BY cell, sub)
+                     GROUP BY cell),
             probes0 AS (SELECT rk.vec_id AS query_id, rk.cell, b.sub_bits,
+                               pa.probe_all,
                                s.sub_full & ((1::BIGINT << b.sub_bits) - 1) AS qsub
                         FROM rk JOIN bits b USING (cell)
+                                JOIN pall pa USING (cell)
                                 JOIN subf s ON s.vec_id = rk.vec_id
                         WHERE rk.vec_id < 20 AND rk.r <= 4),
             probes AS (SELECT query_id, cell,
-                              unnest(list_slice([qsub, xor(qsub, 1), xor(qsub, 2)],
-                                                1, sub_bits + 1)) AS sub
+                              unnest(CASE WHEN probe_all
+                                THEN list_transform(range(0, (1::BIGINT << sub_bits)::INT),
+                                                    x -> x::BIGINT)
+                                ELSE list_slice([qsub, xor(qsub, 1), xor(qsub, 2)],
+                                                1, sub_bits + 1) END) AS sub
                        FROM probes0),
             cand AS (SELECT DISTINCT p.query_id, m.vec_id AS neighbor_id
                      FROM probes p JOIN capped m USING (cell, sub)

@@ -249,18 +249,27 @@ object Similarity {
 
   /** Per-cell sub-bit width for one split level: the smallest b ≥ 1 with
     * expected sub-cell `cnt/2^b ≤ cap/2` (b = 0 iff `cnt ≤ cap`), capped at
-    * maxSubBits — a pure INTEGER case chain, so the DuckDB mirror can never
+    * maxSubBits — pure INTEGER bounds, so the DuckDB mirror can never
     * drift on float log/ceil rounding. The cap/2 target (rather than cap)
     * spends one extra margin bit to absorb within-cluster skew: a tight
     * cluster shares most split-plane bits, so its members concentrate in
     * few sub-cells — measured on IvfHotProbe's 4000-member degenerate
-    * cluster, the margin bit lifts hot-query recall@5 0.750 → 0.820 (the
-    * pre-split slice reads 0.640) and shrinks the hottest list. */
+    * cluster, the margin bit lifts hot-query recall@5 0.750 → 0.830 (the
+    * pre-split slice reads 0.640) and shrinks the hottest list.
+    * [[subBitsOf]] (driver-side) and [[subBitsCase]] (Column form, used by
+    * the audit metric and differential specs) both read these bounds —
+    * one source of truth. */
+  private def subBitBound(cellCap: Int, b: Int): Long =
+    if (b == 0) cellCap.toLong else cellCap.toLong << (b - 1)
+
+  private[graft] def subBitsOf(cnt: Long, cellCap: Int, maxSubBits: Int): Int =
+    (0 until maxSubBits).find(b => cnt <= subBitBound(cellCap, b))
+      .getOrElse(maxSubBits)
+
   private[graft] def subBitsCase(cnt: org.apache.spark.sql.Column, cellCap: Int,
       maxSubBits: Int): org.apache.spark.sql.Column =
     (0 until maxSubBits).foldRight(lit(maxSubBits)) { (b, rest) =>
-      val bound = if (b == 0) cellCap.toLong else cellCap.toLong << (b - 1)
-      when(cnt <= bound, lit(b)).otherwise(rest)
+      when(cnt <= subBitBound(cellCap, b), lit(b)).otherwise(rest)
     }
 
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
@@ -303,14 +312,36 @@ object Similarity {
     // of the two joins below re-executes the whole counts subtree — two
     // extra corpus scans, each re-running the quantizer per row (seen in
     // the PlanDump of the first cut).
-    val cellBits = {
+    // split-failure detector (IvfHotProbe scenario 2): an identical-vector
+    // family shares every split-plane bit, so it collapses into ONE
+    // sub-cell no width can separate — and a query whose own sub differs
+    // by ≥2 bits would miss the whole family under 1-bit multiprobe (the
+    // pre-split slice incidentally found it, since it ignored subs). Any
+    // cell whose hottest sub-cell still exceeds the cap is flagged, and
+    // queries probing a flagged cell probe ALL 2^b of its sub-cells —
+    // deterministic, mirrored in the oracle, and bounded at 2^maxSubBits
+    // × cap candidates per probe: strictly more reachable members than
+    // the old slice's flat cap, never unbounded.
+    //
+    // ONE aggregation computes everything: (cell, full-width sub) counts
+    // are ≤ nCells·2^maxSubBits rows, and per-cell totals → bit widths →
+    // masked sub-cell maxima → probe_all flags all derive from them
+    // driver-side (masking the aggregated key ≡ aggregating the masked
+    // key, since full-width grouping refines every masked grouping).
+    // Inverted-list sizes are quantizer metadata — the same driver-side
+    // transport class as the trained quantizer itself.
+    val cellMeta = {
       import spark.implicits._
-      assigned.groupBy("cell").agg(count(lit(1)).as("cnt"))
-        .select(col("cell"), subBitsCase(col("cnt"), cellCap, maxSubBits).as("sub_bits"))
-        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
-        .toDF("cell", "sub_bits")
+      val stats = assigned.groupBy("cell", "sub_full").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      stats.groupBy(_._1).map { case (cell, rs) =>
+        val bits = subBitsOf(rs.map(_._3).sum, cellCap, maxSubBits)
+        val mask = (1L << bits) - 1
+        val maxSub = rs.groupBy(t => t._2 & mask).values.map(_.map(_._3).sum).max
+        (cell, bits, maxSub > cellCap)
+      }.toSeq.sortBy(_._1).toDF("cell", "sub_bits", "probe_all")
     }
-    val members = assigned.join(broadcast(cellBits), Seq("cell"))
+    val members = assigned.join(broadcast(cellMeta.select("cell", "sub_bits")), Seq("cell"))
       .withColumn("sub", col("sub_full")
         .bitwiseAND(expr("shiftleft(1L, sub_bits) - 1L")))
     // the cap survives as the per-(cell, sub) GUARD for maxSubBits
@@ -334,14 +365,17 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("cell"),
         graft.spark.GraftFunctions.lsh_bits(col("embedding"),
           IvfSplitPlaneStart, maxSubBits).as("qsub_full"))
-      .join(broadcast(cellBits), Seq("cell"))
+      .join(broadcast(cellMeta), Seq("cell"))
       .withColumn("qsub", col("qsub_full")
         .bitwiseAND(expr("shiftleft(1L, sub_bits) - 1L")))
       // probe the exact sub-cell + every 1-bit flip WITHIN the cell's bit
       // width: slice(…, 1, sub_bits + 1) keeps [exact] for a cold cell
-      // (sub_bits = 0) and [exact, flip b0 … flip b(n-1)] for a hot one
+      // (sub_bits = 0) and [exact, flip b0 … flip b(n-1)] for a hot one;
+      // a split-failed cell (probe_all) probes its whole sub range instead
       .withColumn("sub", explode(
-        slice(array(probeFlips: _*), lit(1), col("sub_bits") + 1)))
+        when(col("probe_all"),
+          expr("sequence(0L, shiftleft(1L, sub_bits) - 1L)"))
+          .otherwise(slice(array(probeFlips: _*), lit(1), col("sub_bits") + 1))))
       .select(col("query_id"), col("cell"), col("sub"))
     // materialize the id-pair candidates eagerly so the assigned cache is
     // released here instead of leaking until session stop

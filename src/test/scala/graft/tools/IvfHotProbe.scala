@@ -146,6 +146,69 @@ object IvfHotProbe {
     val rSplit3 = exact.intersect(split3).size.toDouble / exact.size
     println(f"recall@5 hot-cluster queries: slice=$rSlice%.3f split=$rSplit%.3f split+1bit=$rSplit2%.3f split+2bit=$rSplit3%.3f")
     println(s"slice drops ${math.max(0, maxCell - Similarity.IvfCellCap)} of $maxCell hot-cell members from search entirely")
+
+    // Scenario 2 — WIDTH EXHAUSTION: an identical-vector family (exact
+    // boilerplate dups) shares every split-plane bit, so no bit width can
+    // separate it; the (cell, sub) guard must bind, and the split-failure
+    // flag makes every query that PROBES the family's cell probe all its
+    // subs (without the flag, a query whose own sub differs by >=2 bits
+    // missed the family entirely under 1-bit multiprobe — the first cut
+    // of this probe measured exactly that). Guard binding itself is then
+    // harmless: every guard-dropped candidate is an exact duplicate of a
+    // kept one, so top-k COSINES are unaffected for every cell-probing
+    // query (only the id tie-break among identical vectors changes).
+    // Queries that never rank the family's cell into their nProbe list
+    // are the standard IVF coarse-quantizer approximation (the same
+    // reason headline recall@5 reads 0.89) — reported separately.
+    val ident = (0 until HotN).map(i => (200000L + i, hotBase))
+    val corpus2 = (baseRows.toSeq ++ ident ++ queries)
+      .toDF("vec_id", "embedding").repartition(64).persist()
+    corpus2.count()
+    val maxCell2 = Similarity.ivfMaxCell(corpus2)
+    val maxSub2 = Similarity.ivfMaxSubcell(corpus2)
+    println(s"identical-family corpus: ivf_max_cell=$maxCell2 ivf_max_subcell=$maxSub2 (guard ${if (maxSub2 > Similarity.IvfCellCap) "BINDS" else "non-binding"})")
+    def cosSet(df: DataFrame, emb: DataFrame) = {
+      // (query_id, cosine-rounded) multiset — id-agnostic truth under ties
+      val payload = emb.select(col("vec_id"), col("embedding"))
+      df.join(payload.select(col("vec_id").as("query_id"), col("embedding").as("qv")), Seq("query_id"))
+        .join(payload.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")), Seq("neighbor_id"))
+        .withColumn("c", round(expr(Similarity.cosineSql("qv", "cv")), 9))
+        .groupBy("query_id", "c").count()
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    }
+    val exact2 = q.join(corpus2.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", expr(Similarity.cosineSql("qv", "cv")))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= 5).select("query_id", "neighbor_id")
+    val split2b = ivfTopKSplitLike(corpus2, 5, targetDiv = 2)
+      .select("query_id", "neighbor_id")
+    val exactCos = cosSet(exact2, corpus2)
+    val splitCos = cosSet(split2b, corpus2)
+    // which queries rank the family's cell into their nProbe=4 list?
+    val famCell = Similarity.assignCells(
+      corpus2.filter(col("vec_id") === 200000L),
+      corpus2.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cell"), col("embedding").as("centroid")))
+      .collect()(0).getLong(1)
+    val wP = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell").asc)
+    val probing = corpus2.filter(col("vec_id") >= QueryBase)
+      .crossJoin(broadcast(corpus2.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cell"), col("embedding").as("centroid"))))
+      .withColumn("ccos", expr(Similarity.cosineSql("embedding", "centroid")))
+      .withColumn("r", row_number().over(wP))
+      .filter(col("r") <= 4 && col("cell") === famCell)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val perQ = (0 until 20).map { i =>
+      val qid = QueryBase + i
+      (qid, probing(qid),
+        exactCos.filter(_._1 == qid) == splitCos.filter(_._1 == qid))
+    }
+    val probingOk = perQ.filter(_._2)
+    println(s"identical-family: ${probingOk.size}/20 queries probe the family cell; " +
+      s"cosine-level recall among them: ${if (probingOk.forall(_._3)) "1.000 (exact)" else s"MISMATCH ${probingOk.filterNot(_._3).map(_._1)}"}")
+    val misses = perQ.filterNot(_._2)
+    println(s"quantizer-missed queries (family cell outside their nProbe=4 list — the standard IVF approximation, independent of split/guard): ${misses.map(_._1).mkString(", ")}")
     spark.stop()
   }
 
@@ -185,6 +248,17 @@ object IvfHotProbe {
     val members = assigned.join(broadcast(cellBits), Seq("cell"))
       .withColumn("sub", col("sub_full")
         .bitwiseAND(expr("shiftleft(1L, sub_bits) - 1L")))
+    // split-failure flag (mirrors Similarity.ivfTopK): queries probing a
+    // cell whose hottest sub still exceeds the cap probe ALL its subs
+    val cellMeta = {
+      val over = members.groupBy("cell", "sub").agg(count(lit(1)).as("n"))
+        .groupBy("cell").agg(max("n").as("max_sub"))
+        .select(col("cell"), (col("max_sub") > cellCap).as("probe_all"))
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+      cellBits.collect()
+        .map(r => (r.getLong(0), r.getInt(1), over.getOrElse(r.getLong(0), false)))
+        .toSeq.toDF("cell", "sub_bits", "probe_all")
+    }
     val wCap = Window.partitionBy("cell", "sub").orderBy("vec_id")
     val capped = members.withColumn("rn", row_number().over(wCap))
       .filter(col("rn") <= cellCap).select("cell", "sub", "vec_id")
@@ -200,11 +274,13 @@ object IvfHotProbe {
       .select(col("vec_id").as("query_id"), col("cell"),
         graft.spark.GraftFunctions.lsh_bits(col("embedding"),
           Similarity.IvfSplitPlaneStart, maxSubBits).as("qsub_full"))
-      .join(broadcast(cellBits), Seq("cell"))
+      .join(broadcast(cellMeta), Seq("cell"))
       .withColumn("qsub", col("qsub_full")
         .bitwiseAND(expr("shiftleft(1L, sub_bits) - 1L")))
       .withColumn("sub", explode(
-        slice(array(probeFlips: _*), lit(1), col("sub_bits") + 1)))
+        when(col("probe_all"),
+          expr("sequence(0L, shiftleft(1L, sub_bits) - 1L)"))
+          .otherwise(slice(array(probeFlips: _*), lit(1), col("sub_bits") + 1))))
       .select(col("query_id"), col("cell"), col("sub"))
     val candIds = probes.join(capped, Seq("cell", "sub"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
