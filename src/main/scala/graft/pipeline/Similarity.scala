@@ -301,17 +301,13 @@ object Similarity {
         IvfSplitPlaneStart, maxSubBits).as("sub_full"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // hot-cell split (r5, closes the PLANS.md residual): a cell past the
-    // cap fans out into 2^b deterministic LSH sub-cells (smallest b that
-    // brings the EXPECTED sub-cell under the cap) instead of dropping its
-    // over-cap members from search; near vectors share sub-bits with high
-    // probability, and the query multi-probes 1-bit flips, so recall
-    // degrades gracefully instead of cliffing at the cap. The per-cell bit
-    // widths are COLLECTED (nCells rows — inverted-list sizes are quantizer
-    // metadata, the same driver-side transport class as the trained
-    // quantizer itself) and rejoin as a LocalRelation: without this, each
-    // of the two joins below re-executes the whole counts subtree — two
-    // extra corpus scans, each re-running the quantizer per row (seen in
-    // the PlanDump of the first cut).
+    // cap fans out into 2^b deterministic LSH sub-cells (smallest b with
+    // expected sub-cell ≤ cap/2 — the margin bit absorbs within-cluster
+    // skew, see subBitsCase) instead of dropping its over-cap members from
+    // search; near vectors share sub-bits with high probability, and the
+    // query multi-probes 1-bit flips, so recall degrades gracefully
+    // instead of cliffing at the cap.
+    //
     // split-failure detector (IvfHotProbe scenario 2): an identical-vector
     // family shares every split-plane bit, so it collapses into ONE
     // sub-cell no width can separate — and a query whose own sub differs
