@@ -521,7 +521,8 @@ object Bench {
     // audit metrics (max observed population vs each deterministic cap —
     // binding caps must be visible, never silent)
     val (recallLsh, recallIvf, lshMaxBucket, neardupMaxBucket,
-        minhashMaxBand, simhashMaxBand, ivfMaxCell, ivfMaxSubcell) = {
+        minhashMaxBand, simhashMaxBand, ivfMaxCell, ivfMaxSubcell,
+        ivfFlagged) = {
       val sR = session(cpus)
       try {
         import graft.pipeline.{Similarity, TextPipeline}
@@ -539,8 +540,9 @@ object Bench {
           TextPipeline.minhashMaxBand(corpus),
           TextPipeline.simhashMaxBand(corpus),
           Similarity.ivfMaxCell(emb),
-          Similarity.ivfMaxSubcell(emb))
-      } catch { case _: Throwable => (-1.0, -1.0, -1L, -1L, -1L, -1L, -1L, -1L) }
+          Similarity.ivfMaxSubcell(emb),
+          Similarity.ivfFlaggedCells(emb))
+      } catch { case _: Throwable => (-1.0, -1.0, -1L, -1L, -1L, -1L, -1L, -1L, -1L) }
       finally { sR.stop() }
     }
 
@@ -563,7 +565,7 @@ object Bench {
     // mechanically (r4 ADVICE: r4 switched to AQE-off steady-state min-of-2,
     // incompatible with r<=3's AQE-on cold single runs).
     val compactRecord =
-      f"""{"metric":"frontier throughput (URLs scheduled+deduped/sec)","value":$thr32%.0f,"unit":"urls/sec","protocol":"$Protocol","queries":$qs,"sf":"$sfDir","headline_total_sec":$total%.3f,"shuffle_write_mb":$sh,"frontier_urls":$nUrls,"thr_local2":$thr2%.0f,"thr_local8":$thr8%.0f,"thr_local32":$thr32%.0f,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"quiet_fallback":$qfb,"crawl_round_ms":$crawlMs,"ann_recall5_lsh":$recallLsh%.3f,"ann_recall5_ivf":$recallIvf%.3f,"lsh_max_bucket":$lshMaxBucket,"lsh_bucket_cap":${graft.pipeline.Similarity.LshBucketCap},"neardup_max_bucket":$neardupMaxBucket,"neardup_bucket_cap":${graft.pipeline.Similarity.NearDupBucketCap},"ivf_max_cell":$ivfMaxCell,"ivf_max_subcell":$ivfMaxSubcell,"ivf_cell_cap":${graft.pipeline.Similarity.IvfCellCap},"minhash_max_band":$minhashMaxBand,"simhash_max_band":$simhashMaxBand,"band_cap":${graft.pipeline.TextPipeline.BandCap},"selection_us_per_page":$selUsPerDoc%.1f,"selection_decode_us_per_page":$selDecodeUsPerDoc%.1f,"selection_compute_us_per_page":${selUsPerDoc - selDecodeUsPerDoc}%.1f,"selection_pages":$selDocs,"selection_quiet_fallback":$selQuietFallback,"micro_select_us":$microSelect%.1f,"micro_serial_us":$microSerial%.1f,"micro_find_us":$microFind%.1f,"micro_parse_us":$microParse%.1f,"reference_micro_us":{"simple":36.6,"serial":16.4,"find":7.9},"reference_selection_us":36.6}"""
+      f"""{"metric":"frontier throughput (URLs scheduled+deduped/sec)","value":$thr32%.0f,"unit":"urls/sec","protocol":"$Protocol","queries":$qs,"sf":"$sfDir","headline_total_sec":$total%.3f,"shuffle_write_mb":$sh,"frontier_urls":$nUrls,"thr_local2":$thr2%.0f,"thr_local8":$thr8%.0f,"thr_local32":$thr32%.0f,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"quiet_fallback":$qfb,"crawl_round_ms":$crawlMs,"ann_recall5_lsh":$recallLsh%.3f,"ann_recall5_ivf":$recallIvf%.3f,"lsh_max_bucket":$lshMaxBucket,"lsh_bucket_cap":${graft.pipeline.Similarity.LshBucketCap},"neardup_max_bucket":$neardupMaxBucket,"neardup_bucket_cap":${graft.pipeline.Similarity.NearDupBucketCap},"ivf_max_cell":$ivfMaxCell,"ivf_max_subcell":$ivfMaxSubcell,"ivf_flagged_cells":$ivfFlagged,"ivf_cell_cap":${graft.pipeline.Similarity.IvfCellCap},"minhash_max_band":$minhashMaxBand,"simhash_max_band":$simhashMaxBand,"band_cap":${graft.pipeline.TextPipeline.BandCap},"selection_us_per_page":$selUsPerDoc%.1f,"selection_decode_us_per_page":$selDecodeUsPerDoc%.1f,"selection_compute_us_per_page":${selUsPerDoc - selDecodeUsPerDoc}%.1f,"selection_pages":$selDocs,"selection_quiet_fallback":$selQuietFallback,"micro_select_us":$microSelect%.1f,"micro_serial_us":$microSerial%.1f,"micro_find_us":$microFind%.1f,"micro_parse_us":$microParse%.1f,"reference_micro_us":{"simple":36.6,"serial":16.4,"find":7.9},"reference_selection_us":36.6}"""
     println(compactRecord)
     // SECOND line: raw per-pass series + calibration evidence + protocol note
     println(

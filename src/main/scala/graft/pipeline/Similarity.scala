@@ -393,6 +393,29 @@ object Similarity {
       .groupBy("cell").count().agg(max("count")).collect()(0).getLong(0)
   }
 
+  /** Number of probe_all-flagged cells (hottest sub-cell still over the
+    * cap — split-failed, e.g. an identical-vector family): queries probing
+    * such a cell rescore up to 2^maxSubBits·cap candidates instead of
+    * (1+bits)·cap. Reported in the bench JSON so the wider probe set is
+    * visible, never silent (house rule for every guard). */
+  def ivfFlaggedCells(emb: DataFrame, nCells: Int = 16,
+      cellCap: Int = IvfCellCap, maxSubBits: Int = IvfMaxSubBits): Long = {
+    graft.spark.GraftFunctions.register(emb.sparkSession)
+    val cent = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    val assigned = assignCells(emb, cent)
+      .join(emb.select(col("vec_id"),
+        graft.spark.GraftFunctions.lsh_bits(col("embedding"),
+          IvfSplitPlaneStart, maxSubBits).as("sub_full")), Seq("vec_id"))
+    val stats = assigned.groupBy("cell", "sub_full").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    stats.groupBy(_._1).count { case (_, rs) =>
+      val bits = subBitsOf(rs.map(_._3).sum, cellCap, maxSubBits)
+      val mask = (1L << bits) - 1
+      rs.groupBy(t => t._2 & mask).values.map(_.map(_._3).sum).max > cellCap
+    }.toLong
+  }
+
   /** Max IVF (cell, sub) population AFTER the hot-cell split — the list
     * size a probe actually rescores, and the guard audit for the residual
     * per-(cell, sub) cap: the guard binds iff this exceeds [[IvfCellCap]]

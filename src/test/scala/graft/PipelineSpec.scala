@@ -211,6 +211,11 @@ class PipelineSpec extends AnyFunSuite {
     val maxSub = Similarity.ivfMaxSubcell(emb, cellCap = 16, maxSubBits = 2)
     assert(maxCell > 16, s"cap must bind for this gate (max cell $maxCell)")
     assert(maxSub < maxCell, s"split did not shrink the hottest list ($maxSub vs $maxCell)")
+    // the probe_all flag count and the max-subcell audit must tell the
+    // same story: some cell is flagged iff some sub-cell exceeds the cap
+    val flagged = Similarity.ivfFlaggedCells(emb, cellCap = 16, maxSubBits = 2)
+    assert((flagged > 0) == (maxSub > 16),
+      s"flag count $flagged inconsistent with max sub-cell $maxSub")
     // membership preservation: the post-split capped inverted lists hold
     // EVERY corpus member minus only what the (cell, sub) guard trims —
     // the pre-r5 slice dropped max(0, cell - cap) members per hot cell
