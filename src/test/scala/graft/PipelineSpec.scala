@@ -203,6 +203,7 @@ class PipelineSpec extends AnyFunSuite {
 
   test("IVF hot-cell split: binding cap splits cells, drops no member, keeps recall") {
     graft.spark.GraftFunctions.register(spark)
+    import spark.implicits._
     val emb = Similarity.embeddings(spark, sf)
     val n = emb.count()
     // cellCap=16 binds at this sf → hot cells split into up-to-4 LSH
@@ -216,6 +217,25 @@ class PipelineSpec extends AnyFunSuite {
     val flagged = Similarity.ivfFlaggedCells(emb, cellCap = 16, maxSubBits = 2)
     assert((flagged > 0) == (maxSub > 16),
       s"flag count $flagged inconsistent with max sub-cell $maxSub")
+    // the driver-side width rule (subBitsOf, used by the one-pass metadata)
+    // and the Column form (subBitsCase, used by the audit metric and the
+    // oracle mirror generator) must be the same function — sweep counts
+    // across every bound boundary ±1 for several (cap, maxBits) configs
+    for ((cap, mb) <- Seq((16, 2), (64, 3), (1024, 4))) {
+      val boundary = (0 to mb).flatMap { b =>
+        val bound = if (b == 0) cap.toLong else cap.toLong << (b - 1)
+        Seq(bound - 1, bound, bound + 1)
+      }
+      val cnts = (Seq(1L, 2L, 3L) ++ boundary ++
+        Seq(cap.toLong << mb, (cap.toLong << mb) + 7)).distinct.filter(_ > 0)
+      val fromCol = cnts.toDF("cnt")
+        .select(col("cnt"), Similarity.subBitsCase(col("cnt"), cap, mb).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      cnts.foreach { n =>
+        assert(fromCol(n) == Similarity.subBitsOf(n, cap, mb),
+          s"width-rule drift at cnt=$n cap=$cap maxBits=$mb")
+      }
+    }
     // membership preservation: the post-split capped inverted lists hold
     // EVERY corpus member minus only what the (cell, sub) guard trims —
     // the pre-r5 slice dropped max(0, cell - cap) members per hot cell
