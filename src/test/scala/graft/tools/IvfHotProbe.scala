@@ -88,7 +88,7 @@ object IvfHotProbe {
     // stays ~0.99 but the family is NOT bit-identical, which is what makes
     // a split meaningful; an all-identical family is the width-exhaustion
     // guard case, not the split case)
-    val HotN = 4000
+    val HotN = if (args.length > 1) args(1).toInt else 4000
     def jit(i: Int, d: Int): Float = {
       var h = (i.toLong * 6364136223846793005L + d.toLong * 1442695040888963407L)
       h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
