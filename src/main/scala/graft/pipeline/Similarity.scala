@@ -38,8 +38,11 @@ object Similarity {
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    graft.spark.GraftFunctions.register(emb.sparkSession)
+    // native cos_sim ≡ cosineSql (PipelineSpec differential): bit-identical
+    // sequential double folds, codegen instead of 3 interpreted HOF passes
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", expr(cosineSql("qv", "cv")))
+      .withColumn("cos", graft.spark.GraftFunctions.cos_sim(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -156,7 +159,9 @@ object Similarity {
     val cand = candIds
       .join(payload.select(col("vec_id").as("query_id"), col("embedding").as("qv")), Seq("query_id"))
       .join(payload.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")), Seq("neighbor_id"))
-    val scored = cand.withColumn("cos", expr(cosineSql("qv", "cv")))
+    graft.spark.GraftFunctions.register(emb.sparkSession)
+    val scored = cand.withColumn("cos",
+      graft.spark.GraftFunctions.cos_sim(col("qv"), col("cv"))) // ≡ cosineSql
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -355,7 +360,8 @@ object Similarity {
     val probes = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cent))
-      .withColumn("ccos", expr(cosineSql("embedding", "centroid")))
+      .withColumn("ccos",
+        graft.spark.GraftFunctions.cos_sim(col("embedding"), col("centroid"))) // ≡ cosineSql
       .withColumn("r", row_number().over(wCell))
       .filter(col("r") <= nProbe)
       .select(col("vec_id").as("query_id"), col("cell"),
@@ -515,7 +521,8 @@ object Similarity {
     candIds
       .join(payload.select(col("vec_id").as("id_a"), col("embedding").as("va")), Seq("id_a"))
       .join(payload.select(col("vec_id").as("id_b"), col("embedding").as("vb")), Seq("id_b"))
-      .withColumn("cos", expr(cosineSql("va", "vb")))
+      .withColumn("cos",
+        graft.spark.GraftFunctions.cos_sim(col("va"), col("vb"))) // ≡ cosineSql
       .filter(col("cos") >= minCos)
       .select("id_a", "id_b")
   }

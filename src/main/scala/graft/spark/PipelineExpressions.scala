@@ -130,6 +130,38 @@ object PipelineExprOps {
     out
   }
 
+  /** Exact-cosine kernel ≡ `Similarity.cosineSql` (PipelineSpec
+    * differential): dot/norm folds are SEQUENTIAL double accumulations in
+    * element order with independent accumulators, exactly the three
+    * `aggregate(zip_with(...))` folds of the SQL form, so the result is
+    * bit-identical — only the per-row cost drops (the HOF form allocates an
+    * intermediate 64-double array and dispatches an interpreted lambda per
+    * element, three times per pair). Null semantics mirror the HOF: arrays
+    * of unequal length zip with nulls and any null element nulls the fold,
+    * so those return null (boxed). */
+  def cosSim(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      i += 1
+    }
+    var dot = 0.0
+    var aa = 0.0
+    var bb = 0.0
+    i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      aa += x * x
+      bb += y * y
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / (java.lang.Math.sqrt(aa) * java.lang.Math.sqrt(bb)))
+  }
+
   private def isJavaS(cp: Int): Boolean =
     cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
 
@@ -287,6 +319,29 @@ case class LshBitsExpr(first: Expression, second: Expression, third: Expression)
   override def prettyName: String = "lsh_bits"
   override protected def withNewChildrenInternal(f: Expression, s2: Expression,
       t: Expression): LshBitsExpr = copy(first = f, second = s2, third = t)
+}
+
+/** `cos_sim(a, b)` ≡ the documented `Similarity.cosineSql` HOF form
+  * (PipelineSpec differential): exact cosine in one native pass — the ANN
+  * re-rank and brute-force scoring stay inside whole-stage codegen instead
+  * of running three interpreted `aggregate(zip_with(...))` folds per pair. */
+case class CosSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PipelineExprOps.cosSim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""java.lang.Double ${ev.value}_r = graft.spark.PipelineExprOps.cosSim($a, $b);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r.doubleValue(); }""".stripMargin
+    })
+
+  override def prettyName: String = "cos_sim"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosSim =
+    copy(left = l, right = r)
 }
 
 /** `text_lang_stats(toks)` → STRUCT<lang_guess STRING, n_stopwords BIGINT> ≡

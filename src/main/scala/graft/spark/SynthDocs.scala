@@ -36,17 +36,33 @@ object SynthDocs {
       lit("</ul><p class=\"sz\">size "), size, lit("</p></div></body></html>")
     )
 
-  /** part-catalog docs: (doc_id, html, nodes). */
+  /** part-catalog docs: (doc_id, html, nodes).
+    *
+    * Sort-first shape (r6, guide §2.4/§3.3): every consumer ends with
+    * `orderBy("doc_id")`, and a range exchange SAMPLES its child to compute
+    * partition bounds — with the parse projection below the sort, parse_html
+    * ran twice per query (once for sampling, once for the shuffle) and the
+    * shuffle carried the parsed node arrays. Establishing the global doc_id
+    * order HERE on the ~40-byte base rows and parsing downstream (order- and
+    * partitioning-preserving projections) makes the final orderBy a no-op —
+    * RangePartitioning(doc_id) satisfies its OrderedDistribution, so no
+    * second exchange and no re-parse. `repartitionByRange` with an explicit
+    * partition count (REPARTITION_BY_NUM) also keeps AQE from coalescing the
+    * small post-shuffle partitions into a handful of giant parse tasks (the
+    * base rows are tiny; the downstream per-row parse work is not). This
+    * also replaces the old round-robin repartition that existed only to
+    * spread the single-file scan — the range shuffle does that job. */
   def partDocs(spark: SparkSession, sfDir: String): DataFrame = {
     GraftFunctions.register(spark)
-    // the base table is a single small parquet file = one scan partition;
-    // without a repartition the parse stage (the expensive narrow work)
-    // would run on ONE task — spread it across the cluster first
     val part = spark.read.parquet(s"$sfDir/part.parquet")
-      .repartition(spark.sparkContext.defaultParallelism * 2)
-    part
       .select(
         col("p_partkey").cast("string").as("doc_id"),
+        col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"), col("p_size"))
+      .repartitionByRange(spark.sparkContext.defaultParallelism * 2, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+    part
+      .select(
+        col("doc_id"),
         partHtml(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
           col("p_size")).as("html"))
       .withColumn("nodes", GraftFunctions.parse_html(col("html")))
@@ -116,12 +132,18 @@ object SynthDocs {
 
   def hnDocs(spark: SparkSession, sfDir: String): DataFrame = {
     GraftFunctions.register(spark)
-    // see partDocs: parallelize the parse stage past the single-file scan
+    // see partDocs: sort-first — the consumer's orderBy("doc_id") is
+    // satisfied by this range partitioning, so the parse projection below
+    // is never re-executed for range-bound sampling
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
-      .repartition(spark.sparkContext.defaultParallelism * 2)
-    orders
       .select(
         col("o_orderkey").cast("string").as("doc_id"),
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_orderpriority"))
+      .repartitionByRange(spark.sparkContext.defaultParallelism * 2, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+    orders
+      .select(
+        col("doc_id"),
         hnHtml(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_orderpriority")).as("html"))
       .withColumn("nodes", GraftFunctions.parse_html(col("html")))

@@ -101,6 +101,36 @@ class PipelineSpec extends AnyFunSuite {
       "native assignment diverges from the SQL fold")
   }
 
+  test("native cos_sim equals the documented SQL-HOF cosine") {
+    graft.spark.GraftFunctions.register(spark)
+    // all-pairs over a slice: exercises self-cosine (1.0), near-dup pairs,
+    // and arbitrary pairs; plus edge shapes (unequal length, null element,
+    // zero vector) where the HOF yields null / NaN
+    val emb = Similarity.withSyntheticNearDups(Similarity.embeddings(spark, sf))
+      .filter(col("vec_id") % 25 === 0 || col("vec_id") >= 1000000)
+    val pairs = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      .crossJoin(emb.select(col("vec_id").as("ib"), col("embedding").as("vb")))
+    val diff = pairs
+      .withColumn("a", graft.spark.GraftFunctions.cos_sim(col("va"), col("vb")))
+      .withColumn("b", expr(Similarity.cosineSql("va", "vb")))
+      .filter(expr("a IS DISTINCT FROM b"))
+      .count()
+    assert(diff == 0L)
+    // (zero-norm vectors excluded: under ANSI — Spark 4's default — the HOF
+    // form throws DIVIDE_BY_ZERO there, while the kernel yields NaN; the
+    // corpus has no zero vectors, so the operators never reach that case)
+    val edge = Seq(
+      (Seq(1.0f, 2.0f), Seq(1.0f)), // unequal length → null
+      (Seq(1.0f, 1.0f), Seq(1.0f, 1.0f)))
+    import spark.implicits._
+    val ediff = edge.toDF("va", "vb")
+      .withColumn("a", graft.spark.GraftFunctions.cos_sim(col("va"), col("vb")))
+      .withColumn("b", expr(Similarity.cosineSql("va", "vb")))
+      .filter(expr("a IS DISTINCT FROM b"))
+      .count()
+    assert(ediff == 0L)
+  }
+
   test("native simhash_bits equals the documented SQL-HOF simhash") {
     graft.spark.GraftFunctions.register(spark)
     val corpus = TextPipeline.withSyntheticDups(TextPipeline.documents(spark, sf))
