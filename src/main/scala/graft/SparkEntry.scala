@@ -784,7 +784,14 @@ object SparkEntry {
     * orders (same supplier-host × part) so dedup is meaningful; the seen set
     * is derivable from the same table on both engines. */
   private def synthFrontier(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // the base table is a single small parquet file = ONE scan task; without
+    // a repartition the url synthesis AND the dedup groupBy's map-side
+    // partial aggregation run single-threaded (r6: measured 0.98 s vs 0.18 s
+    // for the same dedup over pre-partitioned input). Repartition the narrow
+    // numeric columns BEFORE building url strings so the exchange carries
+    // ~35-byte rows.
     val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .repartition(s.sparkContext.defaultParallelism * 2)
     // mixed schemes and non-default ports so robots path derivation is
     // exercised on more than the fixed 'https://' prefix
     val hostIdx = pmod(col("l_suppkey"), lit(50))

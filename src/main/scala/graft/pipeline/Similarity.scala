@@ -24,6 +24,9 @@ object Similarity {
     s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
 
   def embeddings(spark: SparkSession, dir: String): DataFrame =
+    // NOT repartitioned — same A/B result as TextPipeline.documents (r6):
+    // pinning 64 partitions under the ANN paths regressed them at sf0.1;
+    // filters (queries/centroids) also keep their parquet pushdown this way
     spark.read.parquet(s"$dir/embeddings.parquet")
 
   /**
@@ -448,15 +451,18 @@ object Similarity {
     * first component nudged 0.1%) must pair with their source at cosine ≥
     * minCos; random 64-dim pairs sit far below. Candidate generation via
     * LSH bucket join, verification exact. */
-  def withSyntheticNearDups(emb: DataFrame): DataFrame = {
-    val base = emb.select(col("vec_id"), col("embedding"))
-    val dups = emb.filter(col("vec_id") % 10 === 0)
-      .select((col("vec_id") + 1000000).as("vec_id"),
-        expr("""transform(embedding, (x, i) ->
-                 CASE WHEN i = 0 THEN cast(x * 1.001D as float) ELSE x END)""")
-          .as("embedding"))
-    base.unionByName(dups)
-  }
+  def withSyntheticNearDups(emb: DataFrame): DataFrame =
+    // single-pass form (r6, see TextPipeline.withSyntheticDups): one inline
+    // explode instead of a union of two scans of the same file
+    emb.select(expr(
+      """inline(concat(
+           array(struct(vec_id, embedding)),
+           CASE WHEN vec_id % 10 = 0
+             THEN array(struct(vec_id + 1000000L AS vec_id,
+               transform(embedding, (x, i) ->
+                 CASE WHEN i = 0 THEN cast(x * 1.001D as float) ELSE x END)
+               AS embedding))
+             ELSE array() END))"""))
 
   /** Deterministic per-bucket cap for the near-dup pair join (VERDICT r3 ask
     * #3): without it one degenerate 12-bit bucket (all-zero or boilerplate

@@ -129,21 +129,34 @@ object TextPipeline {
   // --- operators --------------------------------------------------------------
 
   def documents(spark: SparkSession, dir: String): DataFrame =
+    // NOTE (r6): deliberately NOT repartitioned. The single-file scan is one
+    // task, but an explicit repartition(2·cores) pinned 64 un-coalescable
+    // partitions under every downstream stage and REGRESSED the dedup suite
+    // ~2× at sf0.1 (A/B in OPTIMIZATION_r06.md) — at this input size the
+    // task orchestration costs more than the serial narrow work, and at
+    // production scale a multi-file corpus splits at the scan anyway.
     spark.read.parquet(s"$dir/documents.parquet")
 
   /** Deterministic dup-augmented corpus: every 20th doc gets an exact copy
     * (id+1000000), every 10th a near-dup with the last 2 words dropped
     * (id+2000000). Pure SQL — the oracle constructs the identical corpus. */
-  def withSyntheticDups(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id"), col("text"))
-    val exact = docs.filter(col("doc_id") % 20 === 0)
-      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
-    val near = docs.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 2000000).as("doc_id"),
-        expr(s"array_join(slice(${tokensSql("text")}, 1, greatest(size(${tokensSql("text")}) - 2, 1)), ' ')")
-          .as("text"))
-    base.unionByName(exact).unionByName(near)
-  }
+  def withSyntheticDups(docs: DataFrame): DataFrame =
+    // single-pass form (r6): the former three filtered branches re-read and
+    // re-shuffled the corpus once each (union of three scans) — one inline
+    // explode emits the identical row set in one pass with one partition
+    // layout; the near-dup text slice is guarded by its CASE so it is only
+    // computed for the 1-in-10 rows that emit it
+    docs.select(expr(
+      s"""inline(concat(
+            array(struct(doc_id, text)),
+            CASE WHEN doc_id % 20 = 0
+              THEN array(struct(doc_id + 1000000L AS doc_id, text))
+              ELSE array() END,
+            CASE WHEN doc_id % 10 = 0
+              THEN array(struct(doc_id + 2000000L AS doc_id,
+                array_join(slice(${tokensSql("text")}, 1,
+                  greatest(size(${tokensSql("text")}) - 2, 1)), ' ') AS text))
+              ELSE array() END))"""))
 
   /** Exact dedup: normalize → group by md5(norm) → canonical id + group size
     * (groups > 1). Grouping on the 128-bit digest instead of the full
