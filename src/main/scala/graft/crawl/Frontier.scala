@@ -269,14 +269,22 @@ object Frontier {
       case None => sched0
     }
     // seen' = seen ∪ scheduled; robots-disallowed urls also become seen
-    // (never revisited, like real crawlers) — deferred urls do NOT
-    val newSeen = (robots match {
+    // (never revisited, like real crawlers) — deferred urls do NOT.
+    // No distinct (r6): the three inputs are each url-distinct and mutually
+    // DISJOINT — sched ⊆ unseen (anti-joined against seen, internally
+    // deduped), disallowed = unseenAll ∖ unseen (url-distinct, also
+    // anti-joined against seen), so the union is already a set. The old
+    // .distinct() re-shuffled the ENTIRE seen table every round — per-round
+    // cost ∝ seen size instead of round size, exactly the scale class the
+    // incremental bloom exists to avoid (at 10^10 seen urls one round would
+    // shuffle the whole table to dedup rows that cannot collide).
+    val newSeen = robots match {
       case Some(_) =>
         val disallowed = unseenAll.join(unseen.select("url"), Seq("url"), "left_anti")
         seen.select("url").unionByName(sched.select("url"))
           .unionByName(disallowed.select("url"))
       case None => seen.select("url").unionByName(sched.select("url"))
-    }).distinct()
+    }
     val defer = deferred(unseen, sched)
     (sched, newSeen, defer)
   }

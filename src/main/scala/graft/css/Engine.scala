@@ -30,6 +30,11 @@ trait NodeAccess {
   // overridable so columnar views can compare kind bytes without allocating
   def isElement(i: Int): Boolean = kind(i) == "element"
   def isText(i: Int): Boolean = kind(i) == "text"
+  /** `name(i) == tag` — overridable so columnar views compare UTF8 bytes
+    * without materializing a String per node visit (r6, selector hot path). */
+  def nameIs(i: Int, tag: String): Boolean = name(i) == tag
+  /** `attr(i, key) == value` for non-null value — same rationale. */
+  def attrIs(i: Int, key: String, value: String): Boolean = attr(i, key) == value
 
   final def prevElemSibling(i: Int): Int = {
     var p = prevSibling(i)
@@ -65,7 +70,7 @@ trait NodeAccess {
     while (p != -1) { if (name(p) == nm) c += 1; p = nextElemSibling(p) }
     c
   }
-  final def hasClass(i: Int, cls: String): Boolean = {
+  def hasClass(i: Int, cls: String): Boolean = {
     val v = attr(i, "class")
     if (v == null || v.isEmpty) return false
     // whitespace-split contains (reference has_class_bytes, node_data.rs:126-133)
@@ -94,8 +99,8 @@ final class ArenaAccess(a: Arena) extends NodeAccess with graft.sources.AttrIter
   def kind(i: Int): String = a(i).kind
   def name(i: Int): String = a(i).name
   def text(i: Int): String = a(i).text
-  def attr(i: Int, key: String): String = a(i).attr(key).orNull
-  def hasAttr(i: Int, key: String): Boolean = a(i).attr(key).isDefined
+  def attr(i: Int, key: String): String = a(i).attrOrNull(key)
+  def hasAttr(i: Int, key: String): Boolean = a(i).attrOrNull(key) != null
   def parent(i: Int): Int = a(i).parent
   def prevSibling(i: Int): Int = a(i).prev
   def nextSibling(i: Int): Int = a(i).next
@@ -112,7 +117,7 @@ final class ArenaAccess(a: Arena) extends NodeAccess with graft.sources.AttrIter
  * descent pruning so results carry full selectors-crate / CSS semantics.
  */
 /** Allocation-free int stack for the hot DFS walks. */
-private[css] final class IntStack(initial: Int = 64) {
+private[graft] final class IntStack(initial: Int = 64) {
   private var arr = new Array[Int](initial)
   private var n = 0
   def push(x: Int): Unit = {
@@ -386,8 +391,8 @@ object Engine {
       // lowered form matches HTML-ns (lowercase) names; tagExact carries the
       // selector's original case for adjusted foreign names (foreignObject)
       case Some(t) =>
-        val nm = acc.name(i)
-        if (nm != t && !c.tagExact.contains(nm)) return false
+        if (!acc.nameIs(i, t) &&
+            !c.tagExact.exists(acc.nameIs(i, _))) return false
       case None =>
     }
     c.preds.forall(p => matchPred(acc, i, p))
@@ -401,7 +406,7 @@ object Engine {
   }
 
   private def matchPred(acc: NodeAccess, i: Int, p: Pred): Boolean = p match {
-    case PId(v) => acc.attr(i, "id") == v
+    case PId(v) => acc.attrIs(i, "id", v)
     case PClass(v) => acc.hasClass(i, v)
     case PAttrExists(k) => acc.hasAttr(i, k)
     case PAttr(k, op, v, ci) =>
@@ -431,7 +436,7 @@ object Engine {
       val par = acc.parent(i)
       par != -1 && (acc.kind(par) == "document" || acc.kind(par) == "fragment")
     case PAnyLink =>
-      (acc.name(i) == "a" || acc.name(i) == "area" || acc.name(i) == "link") &&
+      (acc.nameIs(i, "a") || acc.nameIs(i, "area") || acc.nameIs(i, "link")) &&
         acc.hasAttr(i, "href")
     case PNot(list) => !list.exists(cx => matchesComplex(acc, i, cx))
     case PIs(list) => list.exists(cx => matchesComplex(acc, i, cx))

@@ -147,6 +147,12 @@ final class MutNode(
   def attr(key: String): Option[String] =
     if (attrs == null) None else attrs.get(key)
 
+  /** Allocation-free attr lookup for the selector hot path (r6): `attr`
+    * builds an Option per call, and [[graft.css.ArenaAccess]] sits under
+    * every per-document select/hasAttr check of the micro bench. */
+  def attrOrNull(key: String): String =
+    if (attrs == null) null else attrs.getOrElse(key, null)
+
   def classList: Seq[String] = {
     // manual ASCII-whitespace split (space \t \n \r \f, the HTML spec set) -
     // String.split(regex) compiled a Pattern per ELEMENT here (a top leaf of

@@ -209,28 +209,61 @@ case class DomCopySelection(children: Seq[Expression])
     copy(children = cs)
 }
 
-/** `dom_text(nodes, ids)` → concatenated subtree text of all ids (X6). */
+/** `dom_text(nodes, ids)` → concatenated subtree text of all ids (X6).
+  * r6: collects the Tungsten text values and byte-concats them with
+  * `UTF8String.concat` — the old StringBuilder path decoded every text node
+  * UTF8→String and re-encoded the result. */
 case class DomText(left: Expression, right: Expression, immediate: Boolean = false)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = StringType
   override def nullSafeEval(nodes: Any, ids: Any): Any = {
     val acc = new ArrayDataAccess(nodes.asInstanceOf[ArrayData])
-    val sb = new java.lang.StringBuilder
-    DomExprUtil.idsFrom(ids.asInstanceOf[ArrayData]).foreach { i =>
+    val parts = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    val idArr = ids.asInstanceOf[ArrayData]
+    val m = idArr.numElements()
+    var k = 0
+    while (k < m) {
+      val i = idArr.getInt(k)
       if (immediate) {
-        if (acc.isText(i) && acc.text(i) != null) sb.append(acc.text(i))
+        if (acc.isText(i) && acc.textU(i) != null) parts += acc.textU(i)
         var c = acc.firstChild(i)
         while (c != -1) {
-          if (acc.isText(c) && acc.text(c) != null) sb.append(acc.text(c))
+          if (acc.isText(c) && acc.textU(c) != null) parts += acc.textU(c)
           c = acc.nextSibling(c)
         }
-      } else sb.append(Engine.subtreeText(acc, i))
+      } else DomText.collectSubtreeText(acc, i, parts)
+      k += 1
     }
-    UTF8String.fromString(sb.toString)
+    UTF8String.concat(parts.toSeq: _*)
   }
   override def prettyName: String = if (immediate) "dom_immediate_text" else "dom_text"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DomText =
     copy(left = l, right = r)
+}
+
+object DomText {
+  /** Preorder subtree text as raw UTF8String parts (≡ Engine.subtreeText's
+    * walk, without the String round-trip). */
+  private[spark] def collectSubtreeText(acc: ArrayDataAccess, root: Int,
+      parts: scala.collection.mutable.ArrayBuffer[UTF8String]): Unit = {
+    val stack = new graft.css.IntStack()
+    stack.push(root)
+    while (stack.nonEmpty) {
+      val cur = stack.pop()
+      if (acc.isText(cur)) {
+        val t = acc.textU(cur)
+        if (t != null) parts += t
+      }
+      var c = acc.lastChild(cur)
+      while (c != -1) { stack.push(c); c = acc.prevSibling(c) }
+    }
+  }
+
+  private[spark] def subtreeTextU(acc: ArrayDataAccess, root: Int): UTF8String = {
+    val parts = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    collectSubtreeText(acc, root, parts)
+    UTF8String.concat(parts.toSeq: _*)
+  }
 }
 
 /** `dom_text_each(nodes, ids)` → ARRAY<STRING>: subtree text per id (batched
@@ -245,7 +278,7 @@ case class DomTextEach(left: Expression, right: Expression)
     val out = new Array[Any](idArr.numElements())
     var i = 0
     while (i < out.length) {
-      out(i) = UTF8String.fromString(Engine.subtreeText(acc, idArr.getInt(i)))
+      out(i) = DomText.subtreeTextU(acc, idArr.getInt(i)) // byte-concat, no String round-trip
       i += 1
     }
     new GenericArrayData(out)

@@ -70,6 +70,9 @@ object NodeSchema {
     * we fall back to plain encoding rather than growing without bound. */
   private val utf8Cache = new java.util.concurrent.ConcurrentHashMap[String, UTF8String]()
   private final val UTF8_CACHE_MAX = 4096
+  /** Shared bounded intern table (also the [[ArrayDataAccess]] selector-side
+    * cache for tag/key/class literals — the same closed-ish vocabularies). */
+  private[spark] def internUtf8(s: String): UTF8String = utf8(s)
   private def utf8(s: String): UTF8String = {
     val hit = utf8Cache.get(s)
     if (hit != null) hit
@@ -195,6 +198,7 @@ object NodeSchema {
  */
 final class ArrayDataAccess(arr: ArrayData) extends NodeAccess with AttrIterable {
   import NodeSchema._
+  import ArrayDataAccess._
 
   private val n = arr.numElements()
   // cache the per-node InternalRows (getStruct is O(1) but repeated calls add up)
@@ -205,13 +209,71 @@ final class ArrayDataAccess(arr: ArrayData) extends NodeAccess with AttrIterable
     r
   }
 
-  private val ELEMENT = UTF8String.fromString("element")
-  private val TEXTK = UTF8String.fromString("text")
+  // lazily decoded per-node kind byte (r6): isElement/isText are the hottest
+  // calls of every selector walk, and getUTF8String allocates a view object
+  // per call on Unsafe rows — decode each node's kind at most once
+  private val kindBytes = new Array[Byte](n)
+  private def kindByte(i: Int): Byte = {
+    var k = kindBytes(i)
+    if (k == 0) {
+      val u = row(i).getUTF8String(KIND)
+      k = if (u.equals(ELEMENT_U)) 1 else if (u.equals(TEXT_U)) 2 else 3
+      kindBytes(i) = k
+    }
+    k
+  }
+
+  // one-entry String → UTF8String caches for the selector-literal arguments
+  // (tag / attr key / attr value / class): a selector compares the SAME
+  // string instance against many nodes in a row, so a reference-equality
+  // cache hits nearly always; misses fall back to the shared intern table
+  private var lastTagS: String = null
+  private var lastTagU: UTF8String = null
+  private def tagU(s: String): UTF8String = {
+    if (s eq lastTagS) lastTagU
+    else { val u = NodeSchema.internUtf8(s); lastTagS = s; lastTagU = u; u }
+  }
+  private var lastKeyS: String = null
+  private var lastKeyU: UTF8String = null
+  private def keyU(s: String): UTF8String = {
+    if (s eq lastKeyS) lastKeyU
+    else { val u = NodeSchema.internUtf8(s); lastKeyS = s; lastKeyU = u; u }
+  }
+  private var lastValS: String = null
+  private var lastValU: UTF8String = null
+  private def valU(s: String): UTF8String = {
+    if (s eq lastValS) lastValU
+    else { val u = NodeSchema.internUtf8(s); lastValS = s; lastValU = u; u }
+  }
 
   def size: Int = n
   def kind(i: Int): String = row(i).getUTF8String(KIND).toString
-  override def isElement(i: Int): Boolean = row(i).getUTF8String(KIND).equals(ELEMENT)
-  override def isText(i: Int): Boolean = row(i).getUTF8String(KIND).equals(TEXTK)
+  override def isElement(i: Int): Boolean = kindByte(i) == 1
+  override def isText(i: Int): Boolean = kindByte(i) == 2
+  override def nameIs(i: Int, tag: String): Boolean = {
+    val nm = nameU(i)
+    nm != null && nm.equals(tagU(tag))
+  }
+  override def attrIs(i: Int, key: String, value: String): Boolean = {
+    val v = attrU(i, keyU(key))
+    v != null && v.equals(valU(value))
+  }
+  /** hasClass over the precomputed `class_list` tokens — no per-call string
+    * materialization or whitespace re-scan (the column stores exactly the
+    * ASCII-whitespace-split tokens of the class attribute). */
+  override def hasClass(i: Int, cls: String): Boolean = {
+    val r = row(i)
+    if (r.isNullAt(CLASS_LIST)) return false
+    val a = r.getArray(CLASS_LIST)
+    val target = valU(cls)
+    var j = 0
+    val m = a.numElements()
+    while (j < m) {
+      if (a.getUTF8String(j).equals(target)) return true
+      j += 1
+    }
+    false
+  }
   def name(i: Int): String = {
     val r = row(i)
     if (r.isNullAt(NAME)) null else r.getUTF8String(NAME).toString
@@ -232,8 +294,12 @@ final class ArrayDataAccess(arr: ArrayData) extends NodeAccess with AttrIterable
     val r = row(i)
     if (r.isNullAt(NS)) "html" else r.getUTF8String(NS).toString
   }
+  def textU(i: Int): UTF8String = {
+    val r = row(i)
+    if (r.isNullAt(TEXT)) null else r.getUTF8String(TEXT)
+  }
   def attr(i: Int, key: String): String = {
-    val u = attrU(i, UTF8String.fromString(key))
+    val u = attrU(i, keyU(key))
     if (u == null) null else u.toString
   }
   def attrU(i: Int, key: UTF8String): UTF8String = {
@@ -249,7 +315,7 @@ final class ArrayDataAccess(arr: ArrayData) extends NodeAccess with AttrIterable
     }
     null
   }
-  def hasAttr(i: Int, key: String): Boolean = attrU(i, UTF8String.fromString(key)) != null
+  def hasAttr(i: Int, key: String): Boolean = attrU(i, keyU(key)) != null
   def parent(i: Int): Int = row(i).getInt(PARENT)
   def prevSibling(i: Int): Int = row(i).getInt(PREV_SIBLING)
   def nextSibling(i: Int): Int = row(i).getInt(NEXT_SIBLING)
@@ -326,4 +392,11 @@ final class ArrayDataAccess(arr: ArrayData) extends NodeAccess with AttrIterable
       ns = if (r.isNullAt(NS)) null else r.getUTF8String(NS).toString
     )
   }
+}
+
+object ArrayDataAccess {
+  // shared across instances: one ArrayDataAccess is built per expression
+  // call per row, so per-instance construction cost matters
+  private val ELEMENT_U = UTF8String.fromString("element")
+  private val TEXT_U = UTF8String.fromString("text")
 }
