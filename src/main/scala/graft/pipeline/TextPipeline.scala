@@ -176,16 +176,19 @@ object TextPipeline {
     * subtree inside the shingle lambda would re-evaluate it per array
     * element (HOF lambdas don't share subexpressions) — with columns each
     * stage computes once per row. */
-  def withShingles(corpus: DataFrame): DataFrame =
+  def withShingles(corpus: DataFrame): DataFrame = {
+    graft.spark.GraftFunctions.register(corpus.sparkSession)
+    // native one-pass token hashes (≡ the tokensSql/wordHashSql HOF chain,
+    // PipelineSpec differential); size(th) == size(toks) by construction,
+    // so the token array itself is never materialized here
     corpus
-      .withColumn("toks", expr(tokensSql("text")))
-      .withColumn("th", expr(s"transform(toks, w -> ${wordHashSql("w")})"))
+      .withColumn("th", graft.spark.GraftFunctions.word_hashes(col("text")))
       .withColumn("shingles", expr(
-        s"""array_distinct(CASE WHEN size(toks) < 3 THEN th
-            ELSE transform(sequence(1, size(toks) - 2),
+        s"""array_distinct(CASE WHEN size(th) < 3 THEN th
+            ELSE transform(sequence(1, size(th) - 2),
               i -> ((element_at(th, i) * 1009 + element_at(th, i + 1)) * 1013
                     + element_at(th, i + 2)) % ${P}L) END)"""))
-      .drop("toks")
+  }
 
   /** MinHash-LSH near-dup pairs: 16-hash signature, 4 bands × 4 rows;
     * candidates share ≥1 band; verified with true shingle Jaccard ≥ minJ.
@@ -404,8 +407,7 @@ object TextPipeline {
     // one persisted (doc_id, sim) signature table for band generation + the
     // two payload rejoins (see minhashPairs)
     val sig = corpus
-      .withColumn("toks", expr(tokensSql("text")))
-      .withColumn("th", expr(s"transform(toks, w -> ${wordHashSql("w")})"))
+      .withColumn("th", graft.spark.GraftFunctions.word_hashes(col("text")))
       // native one-pass signature (≡ simhashSql, PipelineSpec differential)
       .withColumn("sim", graft.spark.GraftFunctions.simhash_bits(col("th")))
       .select("doc_id", "sim")
@@ -446,8 +448,7 @@ object TextPipeline {
   def simhashMaxBand(corpus: DataFrame): Long = {
     graft.spark.GraftFunctions.register(corpus.sparkSession)
     corpus
-      .withColumn("toks", expr(tokensSql("text")))
-      .withColumn("th", expr(s"transform(toks, w -> ${wordHashSql("w")})"))
+      .withColumn("th", graft.spark.GraftFunctions.word_hashes(col("text")))
       .withColumn("sim", graft.spark.GraftFunctions.simhash_bits(col("th")))
       .select(posexplode(expr(
         "transform(sequence(0, 3), b -> concat_ws(':', b, (sim div shiftleft(1L, 15*b)) % 32768))")))

@@ -130,6 +130,42 @@ object PipelineExprOps {
     out
   }
 
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** One-pass token hashes ≡ `TextPipeline.tokenHashesSql` (PipelineSpec
+    * differential): `transform(split(trim(lower(text)), '\s+'),
+    * w -> cast(conv(substr(md5(w),1,15),16,10) as bigint) % P)`. The HOF
+    * form runs an interpreted lambda per token whose body re-does
+    * digest→hex→parse-hex; this takes the first 60 bits of the digest
+    * directly (15 hex digits = bytes 0..6 plus the high nibble of byte 7)
+    * and reuses one MessageDigest per thread. lower/trim use the same
+    * UTF8String kernels as the built-in expressions; the split is Java
+    * regex `\s+` with limit -1, exactly `UTF8String.split`'s behavior
+    * (leading/trailing empty tokens preserved identically). */
+  def wordHashes(text: UTF8String): ArrayData = {
+    val s = text.toLowerCase.trim().toString
+    val toks = wsPattern.split(s, -1)
+    val md = md5Local.get()
+    val out = new Array[Any](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      md.reset()
+      val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var k = 0
+      while (k < 7) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+      v = (v << 4) | ((d(7) & 0xffL) >>> 4)
+      out(i) = v % P
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Exact-cosine kernel ≡ `Similarity.cosineSql` (PipelineSpec
     * differential): dot/norm folds are SEQUENTIAL double accumulations in
     * element order with independent accumulators, exactly the three
@@ -319,6 +355,25 @@ case class LshBitsExpr(first: Expression, second: Expression, third: Expression)
   override def prettyName: String = "lsh_bits"
   override protected def withNewChildrenInternal(f: Expression, s2: Expression,
       t: Expression): LshBitsExpr = copy(first = f, second = s2, third = t)
+}
+
+/** `word_hashes(text)` ≡ `TextPipeline.tokenHashesSql` (PipelineSpec
+  * differential): tokenize + md5-derived word hash in one native pass —
+  * the map side of every shingle/simhash signature stays in codegen
+  * instead of running an interpreted digest→hex→conv lambda per token. */
+case class WordHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    PipelineExprOps.wordHashes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.PipelineExprOps.wordHashes($c)")
+
+  override def prettyName: String = "word_hashes"
+  override protected def withNewChildInternal(c: Expression): WordHashes =
+    copy(child = c)
 }
 
 /** `cos_sim(a, b)` ≡ the documented `Similarity.cosineSql` HOF form

@@ -101,6 +101,20 @@ class PipelineSpec extends AnyFunSuite {
       "native assignment diverges from the SQL fold")
   }
 
+  test("native word_hashes equals the documented split+md5 HOF chain") {
+    graft.spark.GraftFunctions.register(spark)
+    import spark.implicits._
+    val extra = Seq("", " ", "  Mixed  CASE  ", "a\tb\nc", "\tlead", "trail\t",
+      "é ünï çödé", "one").toDF("text")
+    val texts = TextPipeline.documents(spark, sf).select("text").unionByName(extra)
+    val diff = texts
+      .withColumn("a", graft.spark.GraftFunctions.word_hashes(col("text")))
+      .withColumn("b", expr(TextPipeline.tokenHashesSql("text")))
+      .filter(expr("a IS DISTINCT FROM b"))
+      .count()
+    assert(diff == 0L)
+  }
+
   test("native cos_sim equals the documented SQL-HOF cosine") {
     graft.spark.GraftFunctions.register(spark)
     // all-pairs over a slice: exercises self-cosine (1.0), near-dup pairs,
