@@ -96,7 +96,13 @@ object Frontier {
       val definiteNew = withFlag.filter(!col("maybe_seen")).drop("maybe_seen")
       val maybeSeen = withFlag.filter(col("maybe_seen")).drop("maybe_seen")
         .join(seen.select("url"), Seq("url"), "left_anti")
-      definiteNew.unionByName(maybeSeen)
+      val out = definiteNew.unionByName(maybeSeen)
+      // the DataFrames above are eagerly ANALYZED (the scalar subquery has
+      // resolved the view into its plan), so the temp view can be dropped
+      // now — each call previously leaked one UUID view into the session
+      // catalog forever (r5 VERDICT hygiene finding)
+      candidates.sparkSession.catalog.dropTempView(view)
+      out
     }
   }
 

@@ -67,6 +67,18 @@ class CrawlSpec extends AnyFunSuite {
     }
   }
 
+  test("filterUnseen leaves no temp view behind (catalog stays clean)") {
+    import spark.implicits._
+    val before = spark.catalog.listTables().count()
+    val seen = seed.filter(_.seq % 3 == 0).map(_.url).distinct.toDF("url")
+    (1 to 3).foreach { _ =>
+      Frontier.filterUnseen(Frontier.dedupCandidates(toDf(seed)), seen,
+        bloomBits = 1L << 20).count()
+    }
+    assert(spark.catalog.listTables().count() == before,
+      "filterUnseen leaked temp views into the session catalog")
+  }
+
   test("multi-round crawl with discovery: per-round schedule + final seen match oracle") {
     val (oracleRounds, oracleSeen) =
       OracleCrawler.crawl(seed, rounds = 4, budgetPerHost = 2, discoverOracle)
