@@ -482,24 +482,22 @@ object TextPipeline {
     * query's wall time (r3 ask #1; TAProf decomposition in BASELINE.md). */
   def textAnalysis(docs: DataFrame): DataFrame = {
     graft.spark.GraftFunctions.register(docs.sparkSession)
+    // r6: ONE fused native pass per row (text_profile) replaces the split +
+    // two regex passes + HOF filters — each struct field reproduces its
+    // documented SQL form bit-for-bit (kernel scaladoc lists them;
+    // PipelineSpec differential per column). n_bpe_tokens is the BPE-ish
+    // GPT-2-pretokenizer stand-in (letter runs + single digits +
+    // punctuation); lang/stopword scoring is the text_lang_stats semantics.
     docs
-      .withColumn("toks", expr(tokensSql("text"))) // materialize once per row
-      .withColumn("ls", graft.spark.GraftFunctions.text_lang_stats(col("toks")))
+      .withColumn("tp", graft.spark.GraftFunctions.text_profile(col("text")))
       .select(
         col("doc_id"),
-        expr("size(toks)").cast("long").as("n_tokens"),
-        expr(s"length(regexp_replace(trim(text), '\\\\s+', ' '))").cast("long").as("n_chars_norm"),
-        col("ls.lang_guess").as("lang_guess"),
-        col("ls.n_stopwords").as("n_stopwords"),
-        expr("""CASE WHEN size(toks) = 0 THEN 0
-                ELSE (size(filter(toks, w -> length(w) >= 4)) * 100) div size(toks) END""")
-          .cast("long").as("long_word_pct"),
-        // BPE-ish subword count: letter runs + single digits + punctuation,
-        // the GPT-2-pretokenizer shape (a real BPE merges from data; the
-        // regex pass is the deterministic, engine-portable stand-in)
-        expr("""size(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]', 0))""")
-          .cast("long").as("n_bpe_tokens"),
-        // native one-pass fold (≡ fingerprintSql, PipelineSpec differential)
-        graft.spark.GraftFunctions.norm_fingerprint(col("text")).as("fingerprint"))
+        col("tp.n_tokens").as("n_tokens"),
+        col("tp.n_chars_norm").as("n_chars_norm"),
+        col("tp.lang_guess").as("lang_guess"),
+        col("tp.n_stopwords").as("n_stopwords"),
+        col("tp.long_word_pct").as("long_word_pct"),
+        col("tp.n_bpe_tokens").as("n_bpe_tokens"),
+        col("tp.fingerprint").as("fingerprint"))
   }
 }

@@ -57,6 +57,7 @@ object GraftFunctions {
     add("lsh_bits")(es => LshBitsExpr(es(0), es(1), es(2)))
     add("cos_sim")(es => CosSim(es(0), es(1)))
     add("word_hashes")(es => WordHashes(es.head))
+    add("text_profile")(es => TextProfile(es.head))
     add("minhash_sig")(es => MinhashSig(es.head))
     add("simhash_bits")(es => SimhashBits(es.head))
     add("norm_fingerprint")(es => NormFingerprint(es.head))
@@ -130,6 +131,7 @@ object GraftFunctions {
     call_function("lsh_bits", embedding, lit(jStart), lit(nBits))
   def cos_sim(a: Column, b: Column): Column = call_function("cos_sim", a, b)
   def word_hashes(text: Column): Column = call_function("word_hashes", text)
+  def text_profile(text: Column): Column = call_function("text_profile", text)
   def dom_has_attr(nodes: Column, ids: Column, key: String): Column =
     call_function("dom_has_attr", nodes, ids, lit(key))
   def dom_html_root(nodes: Column): Column = call_function("dom_html_root", nodes)

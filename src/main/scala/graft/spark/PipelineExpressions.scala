@@ -242,6 +242,105 @@ object PipelineExprOps {
     m
   }
 
+  private val markerLangsS: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    graft.pipeline.TextPipeline.langMarkers.zipWithIndex.foreach { case ((_, ws), i) =>
+      ws.foreach { w =>
+        val prev = m.get(w)
+        m.put(w, if (prev == null) Array(i) else prev :+ i)
+      }
+    }
+    m
+  }
+
+  /** Fused one-pass text profile ≡ the seven documented per-column SQL
+    * forms of `TextPipeline.textAnalysis` (PipelineSpec differential,
+    * column by column):
+    *   n_tokens       = size(split(trim(lower(text)), '\s+'))
+    *   n_chars_norm   = length(regexp_replace(trim(text), '\s+', ' '))
+    *   lang_guess / n_stopwords = the langGuessSql / stopwordCountSql
+    *                    marker scoring (argmax, code-ascending tie-break)
+    *   long_word_pct  = (#tokens with length ≥ 4 · 100) div n_tokens
+    *   n_bpe_tokens   = size(regexp_extract_all(text,
+    *                    '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]', 0))
+    *   fingerprint    = the normFingerprint fold
+    * Tokenization is the exact built-in chain (UTF8String lower/trim +
+    * Java regex split, limit -1); lengths count code points like `length`;
+    * the BPE scan reproduces the regex alternation (letter runs; single
+    * digits; any single non-letter/digit/ASCII-ws code point — non-ASCII
+    * whitespace is NOT Java `\s` and is counted, exactly like the regex).
+    * Replaces one split + two regex passes + several HOF filters per row. */
+  def textProfile(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = wsPattern.split(text.toLowerCase.trim().toString, -1)
+    val nTokens = toks.length.toLong
+    val scores = new Array[Long](langCodes.length)
+    var nStop = 0L
+    var longWords = 0L
+    var t = 0
+    while (t < toks.length) {
+      val w = toks(t)
+      if (w.codePointCount(0, w.length) >= 4) longWords += 1
+      val langs = markerLangsS.get(w)
+      if (langs != null) {
+        nStop += 1
+        var i = 0
+        while (i < langs.length) { scores(langs(i)) += 1; i += 1 }
+      }
+      t += 1
+    }
+    var best = 0
+    var i = 1
+    while (i < scores.length) { if (scores(i) > scores(best)) best = i; i += 1 }
+    val longPct = if (nTokens == 0) 0L else longWords * 100L / nTokens
+
+    // normalized char count + fingerprint share one walk over trim(text)
+    // (space-only trim, Java-\s runs collapse to one 0x20) — ≡ the
+    // normFingerprint fold with a code-point counter alongside
+    val s0 = text.toString
+    var start = 0
+    var end = s0.length
+    while (start < end && s0.charAt(start) == ' ') start += 1
+    while (end > start && s0.charAt(end - 1) == ' ') end -= 1
+    var acc = 0L
+    var nNorm = 0L
+    var pendingSpace = false
+    i = start
+    while (i < end) {
+      val cp = s0.codePointAt(i)
+      if (isJavaS(cp)) pendingSpace = true
+      else {
+        if (pendingSpace) { acc = (acc * 31 + 32) % P; nNorm += 1; pendingSpace = false }
+        acc = (acc * 31 + cp) % P
+        nNorm += 1
+      }
+      i += Character.charCount(cp)
+    }
+    if (pendingSpace) { acc = (acc * 31 + 32) % P; nNorm += 1 }
+
+    // BPE-ish subword count over the ORIGINAL text
+    var nBpe = 0L
+    i = 0
+    val n0 = s0.length
+    while (i < n0) {
+      val cp = s0.codePointAt(i)
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')) {
+        nBpe += 1
+        var c = cp
+        while (i < n0 && {
+          c = s0.codePointAt(i)
+          (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+        }) i += Character.charCount(c)
+      } else {
+        if (cp >= '0' && cp <= '9') nBpe += 1
+        else if (!isJavaS(cp)) nBpe += 1
+        i += Character.charCount(cp)
+      }
+    }
+
+    org.apache.spark.sql.catalyst.InternalRow(
+      nTokens, nNorm, langCodes(best), nStop, longPct, nBpe, acc)
+  }
+
   /** One-pass lang-ID + stopword count ≡ the documented HOF form
     * (PipelineSpec differential): score(lang) = count of tokens in that
     * lang's marker list; guess = first lang (code ascending — the
@@ -355,6 +454,31 @@ case class LshBitsExpr(first: Expression, second: Expression, third: Expression)
   override def prettyName: String = "lsh_bits"
   override protected def withNewChildrenInternal(f: Expression, s2: Expression,
       t: Expression): LshBitsExpr = copy(first = f, second = s2, third = t)
+}
+
+/** `text_profile(text)` → the full q_text_analysis per-row struct in ONE
+  * native pass (see [[PipelineExprOps.textProfile]] for the exact SQL forms
+  * each field reproduces; PipelineSpec differential per column). */
+case class TextProfile(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_chars_norm", LongType, nullable = false),
+    StructField("lang_guess", StringType, nullable = false),
+    StructField("n_stopwords", LongType, nullable = false),
+    StructField("long_word_pct", LongType, nullable = false),
+    StructField("n_bpe_tokens", LongType, nullable = false),
+    StructField("fingerprint", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    PipelineExprOps.textProfile(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.PipelineExprOps.textProfile($c)")
+
+  override def prettyName: String = "text_profile"
+  override protected def withNewChildInternal(c: Expression): TextProfile =
+    copy(child = c)
 }
 
 /** `word_hashes(text)` ≡ `TextPipeline.tokenHashesSql` (PipelineSpec

@@ -101,6 +101,35 @@ class PipelineSpec extends AnyFunSuite {
       "native assignment diverges from the SQL fold")
   }
 
+  test("native text_profile equals the documented per-column SQL forms") {
+    graft.spark.GraftFunctions.register(spark)
+    import spark.implicits._
+    val extra = Seq("", " ", "  The  And of  ", "a\tb\nc", "der die und ist",
+      "é ünï çödé 42 x-y!", "  mixed \r\n runs  7 here ", "ABCDE fg",
+      "el los que y de la", " nbsp ", "one").toDF("text")
+    val texts = TextPipeline.documents(spark, sf).select("text").unionByName(extra)
+    val toks = TextPipeline.tokensSql("text")
+    val diff = texts
+      .withColumn("tp", graft.spark.GraftFunctions.text_profile(col("text")))
+      .withColumn("toks", expr(toks))
+      .filter(expr(
+        s"""tp.n_tokens IS DISTINCT FROM cast(size(toks) as bigint)
+            OR tp.n_chars_norm IS DISTINCT FROM
+               cast(length(regexp_replace(trim(text), '\\\\s+', ' ')) as bigint)
+            OR tp.lang_guess IS DISTINCT FROM ${TextPipeline.langGuessSql("toks")}
+            OR tp.n_stopwords IS DISTINCT FROM
+               cast(${TextPipeline.stopwordCountSql("toks")} as bigint)
+            OR tp.long_word_pct IS DISTINCT FROM
+               cast(CASE WHEN size(toks) = 0 THEN 0
+                 ELSE (size(filter(toks, w -> length(w) >= 4)) * 100) div size(toks) END
+                 as bigint)
+            OR tp.n_bpe_tokens IS DISTINCT FROM
+               cast(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\\\s]', 0)) as bigint)
+            OR tp.fingerprint IS DISTINCT FROM ${TextPipeline.fingerprintSql("text")}"""))
+      .count()
+    assert(diff == 0L)
+  }
+
   test("native word_hashes equals the documented split+md5 HOF chain") {
     graft.spark.GraftFunctions.register(spark)
     import spark.implicits._
