@@ -789,9 +789,13 @@ object SparkEntry {
     // partial aggregation run single-threaded (r6: measured 0.98 s vs 0.18 s
     // for the same dedup over pre-partitioned input). Repartition the narrow
     // numeric columns BEFORE building url strings so the exchange carries
-    // ~35-byte rows.
+    // ~35-byte rows. HASH repartition on the near-unique row key, not
+    // round-robin: a keyless repartition first pays sortBeforeRepartition —
+    // a local sort of the whole table on the 1-2 scan tasks (guide §2.5) —
+    // measured 0.63 s vs 0.38 s for the same noop at sf0.1.
     val li = s.read.parquet(s"$dir/lineitem.parquet")
-      .repartition(s.sparkContext.defaultParallelism * 2)
+      .repartition(s.sparkContext.defaultParallelism * 2,
+        col("l_orderkey"), col("l_linenumber"))
     // mixed schemes and non-default ports so robots path derivation is
     // exercised on more than the fixed 'https://' prefix
     val hostIdx = pmod(col("l_suppkey"), lit(50))

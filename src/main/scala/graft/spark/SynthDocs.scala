@@ -101,8 +101,10 @@ object SynthDocs {
     * orderkey-range group, rows ordered by orderkey for determinism. */
   def hnBigDocs(spark: SparkSession, sfDir: String, storiesPerPage: Int = 25): DataFrame = {
     GraftFunctions.register(spark)
+    // hash repartition (not round-robin: keyless repartition pays a serial
+    // sortBeforeRepartition on the single scan task — see synthFrontier)
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
-      .repartition(spark.sparkContext.defaultParallelism * 2)
+      .repartition(spark.sparkContext.defaultParallelism * 2, col("o_orderkey"))
     val rows = orders.select(
       (col("o_orderkey") / storiesPerPage).cast("long").as("page_id"),
       col("o_orderkey"),

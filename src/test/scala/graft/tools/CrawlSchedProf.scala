@@ -29,6 +29,8 @@ object CrawlSchedProf {
     // mirror SparkEntry.synthFrontier
     def synthFrontier(): (DataFrame, DataFrame) = {
       val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .repartition(spark.sparkContext.defaultParallelism * 2,
+          col("l_orderkey"), col("l_linenumber"))
       val hostIdx = pmod(col("l_suppkey"), lit(50))
       val scheme = when(pmod(hostIdx, lit(3)) === 1, lit("http://")).otherwise(lit("https://"))
       val hostCol = concat(lit("host-"), hostIdx, lit(".example"),
